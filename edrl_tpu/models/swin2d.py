@@ -1,0 +1,229 @@
+"""Swin-Transformer 2-D fundus backbone.
+
+Reconstructs the missing ``Models.fundus_swin_network.build_model`` backbone
+(SURVEY.md section 2.8 item 1) from its dimensional contract: over a 384^2
+fundus photograph it must produce final-stage tokens ``[B, 144, 1024]``
+(12x12 grid, dim 1024 — pinned by ``EPRL(x_dim=1024)`` at
+``fusion_net.py:783,817`` and ``mlp_2d: Linear(144, C)`` at
+``fusion_net.py:95``) plus a pooled vector.  The default configuration is a
+Swin-B: patch 4, embed 128, depths (2,2,6,2), heads (4,8,16,32), window 12.
+
+TPU-first design:
+- window partition/merge are pure reshape/transposes with static shapes;
+- the shifted-window attention mask is precomputed at trace time with numpy;
+- attention runs batched over ``B * num_windows`` so the MXU sees one large
+  batched matmul per block;
+- bf16 compute / f32 softmax & accumulation via ``layers.scaled_dot_attention``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edrl_tpu.models.layers import Mlp, scaled_dot_attention
+
+Dtype = Any
+
+
+def _relative_position_index(window: int) -> np.ndarray:
+    """Static [w*w, w*w] index into the (2w-1)^2 relative-bias table."""
+    coords = np.stack(
+        np.meshgrid(np.arange(window), np.arange(window), indexing="ij")
+    )  # [2, w, w]
+    coords = coords.reshape(2, -1)  # [2, w*w]
+    rel = coords[:, :, None] - coords[:, None, :]  # [2, w*w, w*w]
+    rel = rel.transpose(1, 2, 0)  # [w*w, w*w, 2]
+    rel[:, :, 0] += window - 1
+    rel[:, :, 1] += window - 1
+    rel[:, :, 0] *= 2 * window - 1
+    return rel.sum(-1)  # [w*w, w*w]
+
+
+def _shift_attn_mask(grid: int, window: int, shift: int) -> np.ndarray:
+    """Static additive mask [num_windows, w*w, w*w] for shifted windows."""
+    img = np.zeros((grid, grid), dtype=np.int32)
+    cnt = 0
+    slices = (slice(0, -window), slice(-window, -shift), slice(-shift, None))
+    for hs in slices:
+        for ws in slices:
+            img[hs, ws] = cnt
+            cnt += 1
+    nw = grid // window
+    img = img.reshape(nw, window, nw, window).transpose(0, 2, 1, 3)
+    img = img.reshape(-1, window * window)  # [num_windows, w*w]
+    diff = img[:, :, None] - img[:, None, :]
+    return np.where(diff != 0, -1e9, 0.0).astype(np.float32)
+
+
+def window_partition(x: jax.Array, window: int) -> jax.Array:
+    """[B, H, W, C] -> [B * nW, window*window, C]."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // window, window, w // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, window * window, c)
+
+
+def window_merge(x: jax.Array, window: int, h: int, w: int) -> jax.Array:
+    """[B * nW, window*window, C] -> [B, H, W, C]."""
+    c = x.shape[-1]
+    b = x.shape[0] // ((h // window) * (w // window))
+    x = x.reshape(b, h // window, w // window, window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    window: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[np.ndarray] = None):
+        """x: [B*nW, w*w, C]; mask: [nW, w*w, w*w] additive or None."""
+        bnw, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(bnw, n, 3, self.num_heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+
+        table = self.param(
+            "rel_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window - 1) ** 2, self.num_heads),
+        )
+        idx = _relative_position_index(self.window)
+        bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
+        bias = bias.transpose(2, 0, 1)[None]  # [1, heads, n, n]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            m = jnp.asarray(mask)[None, :, None, :, :]  # [1, nW, 1, n, n]
+            attn_bias = bias[:, None] + m  # [1, nW, heads, n, n]
+            q = q.reshape(-1, nw, self.num_heads, n, head_dim)
+            k = k.reshape(-1, nw, self.num_heads, n, head_dim)
+            v = v.reshape(-1, nw, self.num_heads, n, head_dim)
+            out = scaled_dot_attention(q, k, v, scale, bias=attn_bias)
+            out = out.reshape(bnw, self.num_heads, n, head_dim)
+        else:
+            out = scaled_dot_attention(q, k, v, scale, bias=bias)
+        out = out.transpose(0, 2, 1, 3).reshape(bnw, n, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    grid: int
+    num_heads: int
+    window: int
+    shift: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        """x: [B, H, W, C] with H == W == grid."""
+        b, h, w, c = x.shape
+        window = min(self.window, self.grid)
+        shift = self.shift if window < self.grid else 0
+
+        shortcut = x
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        if shift > 0:
+            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+            mask = _shift_attn_mask(self.grid, window, shift)
+        else:
+            mask = None
+        xw = window_partition(x, window)
+        xw = WindowAttention(self.dim, window, self.num_heads, dtype=self.dtype)(
+            xw, mask=mask
+        )
+        x = window_merge(xw, window, h, w)
+        if shift > 0:
+            x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+        x = shortcut + x
+
+        h2 = nn.LayerNorm(dtype=self.dtype)(x)
+        h2 = Mlp(
+            int(self.dim * self.mlp_ratio), self.dim, self.dropout, dtype=self.dtype
+        )(h2, deterministic=deterministic)
+        return x + h2
+
+
+class PatchMerging(nn.Module):
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype)(x)
+
+
+class SwinTransformer2D(nn.Module):
+    """Returns ``(tokens [B, N, C_final], pooled [B, C_final])``.
+
+    With the default (image 384, patch 4, embed 128, 4 stages) this lands on
+    exactly ``[B, 144, 1024]`` — the contract of the missing reference
+    backbone (``fusion_net.py:796,884``).
+    """
+
+    img_size: int = 384
+    patch_size: int = 4
+    embed_dim: int = 128
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (4, 8, 16, 32)
+    window: int = 12
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True) -> Tuple[jax.Array, jax.Array]:
+        """x: [B, H, W, 3] (NHWC, values in [0, 1])."""
+        b, h, w, _ = x.shape
+        p = self.patch_size
+        x = x.astype(self.dtype)
+        # Patchify as reshape + one dense matmul (TPU-friendly conv-free stem).
+        x = x.reshape(b, h // p, p, w // p, p, x.shape[-1])
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // p, w // p, p * p * 3)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="patch_embed")(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+
+        grid = h // p
+        dim = self.embed_dim
+        block_cls = SwinBlock
+        if self.remat:
+            block_cls = nn.remat(SwinBlock, static_argnums=())
+        for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
+            for i in range(depth):
+                x = block_cls(
+                    dim=dim,
+                    grid=grid,
+                    num_heads=heads,
+                    window=self.window,
+                    shift=0 if i % 2 == 0 else self.window // 2,
+                    mlp_ratio=self.mlp_ratio,
+                    dropout=self.dropout,
+                    dtype=self.dtype,
+                )(x, deterministic=deterministic)
+            if stage != len(self.depths) - 1:
+                x = PatchMerging(dim=dim, dtype=self.dtype)(x)
+                dim *= 2
+                grid //= 2
+
+        x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        tokens = x.reshape(b, grid * grid, dim)
+        pooled = jnp.mean(tokens, axis=1)
+        return tokens, pooled
