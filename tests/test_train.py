@@ -1,0 +1,135 @@
+"""End-to-end trainer tests: smoke train on synthetic data, checkpoint
+round-trip, missing-modality eval, CSV logging."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from edrl_tpu.config import tiny_test_config
+from edrl_tpu.data import BatchLoader, SyntheticGammaDataset
+from edrl_tpu.train import metrics as metrics_lib
+from edrl_tpu.train.checkpoint import CheckpointManager
+from edrl_tpu.train.trainer import (
+    fit,
+    init_state,
+    make_eval_step,
+    make_model,
+    make_optimizer,
+    make_train_step,
+    run_eval,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg(tmp_path_factory):
+    c = tiny_test_config(batch_size=4)
+    return c.replace(
+        train=c.train.__class__(
+            lr=3e-4, end_epochs=2, log_dir=str(tmp_path_factory.mktemp("log"))
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def loaders(cfg):
+    train_ds = SyntheticGammaDataset(cfg.data, mode="train")
+    val_ds = SyntheticGammaDataset(cfg.data, mode="val")
+    return (
+        BatchLoader(train_ds, cfg.data.batch_size, num_workers=2, seed=0),
+        BatchLoader(val_ds, cfg.data.batch_size, shuffle=False, num_workers=2),
+    )
+
+
+@pytest.fixture(scope="module")
+def fitted(cfg, loaders):
+    train_loader, val_loader = loaders
+    state, result = fit(cfg, train_loader, val_loader, verbose=False)
+    return state, result
+
+
+class TestSmokeTrain:
+    def test_losses_finite_and_decreasing_trend(self, fitted):
+        state, result = fitted
+        losses = [m.loss for m in result.train_history]
+        assert all(np.isfinite(l) for l in losses)
+        assert len(losses) == 2
+
+    def test_val_metrics_computed(self, fitted):
+        _, result = fitted
+        vm = result.val_history[-1]
+        assert 0.0 <= vm.accuracy <= 1.0
+        assert np.isfinite(vm.loss)
+
+    def test_csv_log_written(self, fitted, cfg):
+        files = os.listdir(cfg.train.log_dir)
+        assert any(f.endswith(".csv") for f in files)
+        path = os.path.join(cfg.train.log_dir, [f for f in files if f.endswith(".csv")][0])
+        lines = open(path).read().strip().splitlines()
+        assert lines[0].startswith("Epoch,Loss,Accuracy")
+        assert len(lines) >= 3  # header + 2 epochs
+
+
+class TestLongerTrainingLearns:
+    def test_loss_decreases_over_epochs(self, cfg, loaders):
+        """8 epochs on the synthetic class signal must reduce train loss."""
+        train_loader, val_loader = loaders
+        c = cfg.replace(train=cfg.train.__class__(lr=3e-4, end_epochs=8, log_dir=""))
+        state, result = fit(c, train_loader, val_loader, verbose=False)
+        losses = [m.loss for m in result.train_history]
+        assert losses[-1] < losses[0], losses
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, cfg, fitted, tmp_path):
+        state, _ = fitted
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save_best(state, epoch=2, accuracy=0.75)
+        assert mgr.best_info()["accuracy"] == 0.75
+        _, template = init_state(cfg, 0)
+        restored = mgr.restore(template, "best")
+        leaf_a = jax.tree_util.tree_leaves(state.params)[0]
+        leaf_b = jax.tree_util.tree_leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
+        assert int(restored.step) == int(state.step)
+
+    def test_restored_state_evaluates_identically(self, cfg, fitted, loaders, tmp_path):
+        state, _ = fitted
+        _, val_loader = loaders
+        mgr = CheckpointManager(str(tmp_path / "ckpt2"))
+        mgr.save(state)
+        _, template = init_state(cfg, 0)
+        restored = mgr.restore(template)
+        eval_step = make_eval_step(make_model(cfg), cfg)
+        m1, t1, p1 = run_eval(state, eval_step, val_loader)
+        m2, t2, p2 = run_eval(restored, eval_step, val_loader)
+        np.testing.assert_allclose(p1, p2, rtol=1e-6)
+
+
+class TestMissingModality:
+    def test_all_three_configurations(self, cfg, fitted, loaders):
+        """BASELINE.json config 5: fundus-only / OCT-only / both must all run."""
+        state, _ = fitted
+        _, val_loader = loaders
+        eval_step = make_eval_step(make_model(cfg), cfg)
+        for mask in ([True, True], [True, False], [False, True]):
+            m, _, probs = run_eval(
+                state, eval_step, val_loader, modality_mask=np.array(mask)
+            )
+            assert np.all(np.isfinite(probs)), mask
+            assert 0.0 <= m.accuracy <= 1.0
+
+
+class TestUncertaintySuiteOnEval:
+    def test_uncertainty_metrics_from_eval(self, fitted, loaders):
+        state, _ = fitted
+        _, val_loader = loaders
+        cfg_model = fitted  # placeholder to keep signature simple
+        from edrl_tpu.config import tiny_test_config
+
+        c = tiny_test_config(batch_size=4)
+        eval_step = make_eval_step(make_model(c), c)
+        _, targets, probs = run_eval(state, eval_step, val_loader)
+        suite = metrics_lib.compute_uncertainty_metrics(targets, probs)
+        assert set(suite) >= {"accuracy", "auc", "ece", "nll", "brier", "kappa"}
