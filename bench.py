@@ -1,0 +1,96 @@
+"""Benchmark: EDRL training throughput (fundus+OCT pairs/sec/chip).
+
+Runs the flagship MedFusion self-distillation train step (dual full-size
+forward: Swin-B @ 384^2 + 3-D ViT @ 96^3, MK-MMD, backward, Adam) on the
+available accelerator and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "pairs/sec/chip", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so the baseline is the
+self-recorded value in BASELINE.md's history; ``vs_baseline`` is the ratio
+against ``BASELINE_PAIRS_PER_SEC`` below (first measurement = 1.0 by
+definition, later rounds show the speedup).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Round-1 self-baseline on TPU v5e-1 (updated as the framework speeds up).
+BASELINE_PAIRS_PER_SEC = 11.04
+
+
+def make_batch(batch_size: int, data_cfg, rng):
+    return {
+        "fundus_low": jnp.asarray(
+            rng.uniform(size=(batch_size, data_cfg.fundus_size, data_cfg.fundus_size, 3)).astype(np.float32)
+        ),
+        "fundus_high": jnp.asarray(
+            rng.uniform(size=(batch_size, data_cfg.fundus_size, data_cfg.fundus_size, 3)).astype(np.float32)
+        ),
+        "oct_low": jnp.asarray(
+            rng.uniform(size=(batch_size, *data_cfg.oct_size, 1)).astype(np.float32)
+        ),
+        "oct_high": jnp.asarray(
+            rng.uniform(size=(batch_size, *data_cfg.oct_size, 1)).astype(np.float32)
+        ),
+        "label": jnp.asarray(rng.integers(0, 2, size=batch_size).astype(np.int32)),
+    }
+
+
+def bench_train_step(batch_size: int = 16, steps: int = 20, remat: bool = True):
+    import dataclasses
+
+    from edrl_tpu.config import DataConfig, EDRLConfig, ModelConfig, TrainConfig
+    from edrl_tpu.train.trainer import (
+        init_state,
+        make_model,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = EDRLConfig(
+        data=DataConfig(batch_size=batch_size),
+        model=ModelConfig(use_bfloat16=True, remat=remat),
+        train=TrainConfig(),
+    )
+    _, state = init_state(cfg, 0)
+    train_step = make_train_step(make_model(cfg), make_optimizer(cfg), cfg)
+    batch = make_batch(batch_size, cfg.data, np.random.default_rng(0))
+    key = jax.random.key(0)
+
+    # Warmup / compile.
+    state, out = train_step(state, batch, key)
+    jax.block_until_ready(out["loss"])
+    state, out = train_step(state, batch, key)
+    jax.block_until_ready(out["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, out = train_step(state, batch, key)
+    jax.block_until_ready(out["loss"])
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
+
+
+def main():
+    pairs_per_sec = bench_train_step()
+    print(
+        json.dumps(
+            {
+                "metric": "EDRL fundus+OCT train pairs/sec/chip (dual-view step, 384^2+96^3, bf16)",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/sec/chip",
+                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

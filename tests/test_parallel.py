@@ -1,0 +1,135 @@
+"""Multi-chip SPMD tests on the virtual 8-device CPU mesh.
+
+Validates the SURVEY.md section 5.8 contract: under jit-over-Mesh data
+parallelism the global-batch losses (MK-MMD, Barlow correlation) and the
+gradients match the single-device computation on the concatenated batch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from edrl_tpu.config import tiny_test_config
+from edrl_tpu.ops import barlow_block_loss, batch_standardize, mk_mmd
+from edrl_tpu.parallel import (
+    batch_sharding,
+    infer_param_shardings,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from edrl_tpu.train.trainer import init_state, make_model, make_optimizer, make_train_step
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_mesh(num_data=8, num_model=1)
+
+
+class TestGlobalBatchLosses:
+    def test_sharded_mmd_equals_global(self, mesh, rng):
+        s = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+        t = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+        want = float(mk_mmd(s, t))
+        sh = batch_sharding(mesh)
+        f = jax.jit(mk_mmd, in_shardings=(sh, sh), out_shardings=replicated(mesh))
+        got = float(f(jax.device_put(s, sh), jax.device_put(t, sh)))
+        assert got == pytest.approx(want, rel=1e-4)
+
+    def test_sharded_barlow_equals_global(self, mesh, rng):
+        z1 = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
+        z2 = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
+
+        def loss(a, b):
+            sa = batch_standardize(a)
+            sb = batch_standardize(b)
+            return barlow_block_loss(sa, sb, common_dim=8, batch_divisor=128.0)[0]
+
+        want = float(loss(z1, z2))
+        sh = batch_sharding(mesh)
+        f = jax.jit(loss, in_shardings=(sh, sh), out_shardings=replicated(mesh))
+        got = float(f(jax.device_put(z1, sh), jax.device_put(z2, sh)))
+        assert got == pytest.approx(want, rel=1e-4)
+
+
+class TestShardedTrainStep:
+    def test_step_runs_and_matches_unsharded(self, mesh):
+        cfg = tiny_test_config(batch_size=8)
+        model, state = init_state(cfg, 0)
+        tx = make_optimizer(cfg)
+        train_step = make_train_step(make_model(cfg), tx, cfg)
+
+        rng = np.random.default_rng(0)
+        batch = {
+            "fundus_low": rng.uniform(size=(8, 64, 64, 3)).astype(np.float32),
+            "fundus_high": rng.uniform(size=(8, 64, 64, 3)).astype(np.float32),
+            "oct_low": rng.uniform(size=(8, 32, 32, 32, 1)).astype(np.float32),
+            "oct_high": rng.uniform(size=(8, 32, 32, 32, 1)).astype(np.float32),
+            "label": rng.integers(0, 2, size=8).astype(np.int32),
+        }
+        key = jax.random.key(7)
+
+        # Unsharded baseline.
+        _, state_a = init_state(cfg, 0)
+        sa, out_a = train_step(state_a, jax.tree_util.tree_map(jnp.asarray, batch), key)
+
+        # Sharded: batch over the data axis, state replicated.
+        _, state_b = init_state(cfg, 0)
+        state_b = jax.device_put(state_b, replicated(mesh))
+        sharded = shard_batch(batch, mesh)
+        sb, out_b = train_step(state_b, sharded, key)
+
+        assert float(out_b["loss"]) == pytest.approx(float(out_a["loss"]), rel=2e-3)
+        # Updated parameters agree (global-batch grads + psum correctness).
+        la = jax.tree_util.tree_leaves(sa.params)[0]
+        lb = jax.tree_util.tree_leaves(sb.params)[0]
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=2e-5)
+
+
+class TestParamShardings:
+    def test_tp_rules_replicate_on_1d_model_axis(self, mesh):
+        cfg = tiny_test_config(batch_size=4)
+        _, state = init_state(cfg, 0)
+        shardings = infer_param_shardings(state.params, mesh)
+        leaves = jax.tree_util.tree_leaves(
+            shardings, is_leaf=lambda x: isinstance(x, NamedSharding)
+        )
+        assert all(isinstance(s, NamedSharding) for s in leaves)
+        # model axis == 1 -> everything replicated
+        assert all(s.spec == P() for s in leaves)
+
+    def test_tp_rules_shard_mlp_kernels_on_2d_mesh(self):
+        mesh2 = make_mesh(num_data=4, num_model=2)
+        cfg = tiny_test_config(batch_size=4)
+        _, state = init_state(cfg, 0)
+        shardings = infer_param_shardings(state.params, mesh2)
+        flat = jax.tree_util.tree_flatten_with_path(
+            shardings, is_leaf=lambda x: isinstance(x, NamedSharding)
+        )[0]
+        sharded_paths = [
+            "/".join(str(getattr(k, "key", k)) for k in path)
+            for path, s in flat
+            if s.spec != P()
+        ]
+        assert any("Mlp" in p for p in sharded_paths), sharded_paths
+
+    def test_params_placeable_under_tp(self):
+        """Params device_put with TP shardings still run a forward."""
+        mesh2 = make_mesh(num_data=4, num_model=2)
+        cfg = tiny_test_config(batch_size=4)
+        model, state = init_state(cfg, 0)
+        shardings = infer_param_shardings(state.params, mesh2)
+        params = jax.tree_util.tree_map(jax.device_put, state.params, shardings)
+        m = make_model(cfg)
+        rng = np.random.default_rng(0)
+        fundus = jnp.asarray(rng.uniform(size=(4, 64, 64, 3)).astype(np.float32))
+        oct_vol = jnp.asarray(rng.uniform(size=(4, 32, 32, 32, 1)).astype(np.float32))
+        y = jnp.zeros(4, jnp.int32)
+        logits, loss, _, _ = m.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            fundus, oct_vol, y, train=False,
+        )
+        assert np.all(np.isfinite(np.asarray(logits)))
