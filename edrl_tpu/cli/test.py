@@ -1,0 +1,54 @@
+"""Evaluation CLI — the reference's ``fusion_test.py`` equivalent.
+
+Identical flag surface to ``edrl_tpu.cli.train`` plus ``--checkpoint``
+(``fusion_test.py:514``); runs eval only (no ``pdb.set_trace()`` — defect
+ledger #11).
+
+    python -m edrl_tpu.cli.test --dataset synthetic --checkpoint ckpt_dir/best
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from edrl_tpu.cli.train import build_parser, config_from_args, make_loaders
+
+
+def main(argv=None):
+    parser = build_parser()
+    parser.add_argument("--checkpoint", default="")
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+    _, val_loader = make_loaders(cfg)
+
+    from edrl_tpu.train.checkpoint import CheckpointManager
+    from edrl_tpu.train.metrics import compute_uncertainty_metrics
+    from edrl_tpu.train.trainer import init_state, make_eval_step, make_model, run_eval
+
+    _, state = init_state(cfg, cfg.train.seed)
+    if args.checkpoint:
+        import os
+
+        directory, name = os.path.split(args.checkpoint.rstrip("/"))
+        mgr = CheckpointManager(directory or ".")
+        state = mgr.restore(state, name)
+
+    eval_step = make_eval_step(make_model(cfg), cfg)
+    m, targets, probs = run_eval(state, eval_step, val_loader)
+    print(
+        f"Test: Acc {m.accuracy:.4f} AUC {m.auc:.4f} F1 {m.f1:.4f} "
+        f"Precision {m.precision:.4f} Recall {m.recall:.4f} "
+        f"Specificity {m.specificity:.4f}"
+    )
+    suite = compute_uncertainty_metrics(targets, probs)
+    print("Uncertainty suite:", {k: round(v, 4) for k, v in suite.items()})
+    for mask, label in (
+        (np.array([True, False]), "fundus-only"),
+        (np.array([False, True]), "oct-only"),
+    ):
+        mm, _, _ = run_eval(state, eval_step, val_loader, modality_mask=mask)
+        print(f"Missing-modality [{label}]: Acc {mm.accuracy:.4f} AUC {mm.auc:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Training CLI — mirrors the reference's ``fusion_train.py`` flag surface.
+
+Every reference flag (``fusion_train.py:510-542``) has an equivalent here,
+plus the knobs the reference hard-coded or broke (noise lows/highs, fold
+selection, device mesh shape).  Examples:
+
+    # reference Run_fusion.sh equivalent (synthetic data):
+    python -m edrl_tpu.cli.train --model_name MedFusion --dataset synthetic \
+        --lr 1e-5 --batch_size 32 --end_epochs 200 --Condition_G_Variance 0.5
+
+    # real GAMMA-layout data:
+    python -m edrl_tpu.cli.train --dataset dr2 --data_path /data/MGamma \
+        --label_file /data/train_839.xlsx --folder folder0
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import numpy as np
+
+from edrl_tpu.config import DataConfig, EDRLConfig, ModelConfig, NoiseConfig, TrainConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # Reference flags (``fusion_train.py:510-542``).
+    p.add_argument("--modal_number", type=int, default=2)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--start_epoch", type=int, default=1)
+    p.add_argument("--end_epochs", type=int, default=200)
+    p.add_argument("--test_epoch", type=int, default=198)
+    p.add_argument("--lambda_epochs", type=int, default=50)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--model_name", default="MedFusion")
+    p.add_argument("--dataset", default="synthetic", help="synthetic/dr2/glu2")
+    p.add_argument("--folder", default="folder0")
+    p.add_argument("--mode", default="train&test", help="train/test/train&test")
+    p.add_argument("--model_base", default="transformer")
+    p.add_argument("--condition", default="noise", help="noise/normal")
+    p.add_argument("--condition_name", default="Gaussian")
+    p.add_argument("--Condition_SP_Variance", type=float, default=0.005)
+    p.add_argument("--Condition_G_Variance", type=float, default=0.5)
+    p.add_argument("--name", default="checkpoint_0.3")
+    # Fixed/new knobs.
+    p.add_argument("--Condition_G_Variance_low", type=float, default=0.0)
+    p.add_argument("--Condition_SP_Variance_low", type=float, default=0.0)
+    p.add_argument("--data_path", default="")
+    p.add_argument("--label_file", default="")
+    p.add_argument("--checkpoint_dir", default="checkpoint")
+    p.add_argument("--log_dir", default="log")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_model_shards", type=int, default=1)
+    p.add_argument("--no_bfloat16", action="store_true")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--synthetic_samples", type=int, default=128)
+    return p
+
+
+def config_from_args(args) -> EDRLConfig:
+    noise = NoiseConfig(
+        condition=args.condition,
+        condition_name=args.condition_name,
+        gaussian_low=args.Condition_G_Variance_low,
+        gaussian_high=args.Condition_G_Variance,
+        salt_pepper_low=args.Condition_SP_Variance_low,
+        salt_pepper_high=args.Condition_SP_Variance,
+    )
+    data = DataConfig(
+        dataset=args.dataset,
+        data_path=args.data_path,
+        label_file=args.label_file,
+        batch_size=args.batch_size,
+        fold=int(args.folder[-1]) if args.folder[-1].isdigit() else 0,
+        noise=noise,
+        num_synthetic_samples=args.synthetic_samples,
+    )
+    model = ModelConfig(
+        model_name=args.model_name,
+        use_bfloat16=not args.no_bfloat16,
+        remat=args.remat,
+    )
+    train = TrainConfig(
+        mode=args.mode,
+        lr=args.lr,
+        start_epoch=args.start_epoch,
+        end_epochs=args.end_epochs,
+        seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
+        log_dir=args.log_dir,
+        name=args.name,
+        num_model_shards=args.num_model_shards,
+    )
+    return EDRLConfig(data=data, model=model, train=train)
+
+
+def make_loaders(cfg: EDRLConfig):
+    from edrl_tpu.data import BatchLoader, GammaDataset, SyntheticGammaDataset, kfold_split
+
+    if cfg.data.dataset == "synthetic":
+        train_ds = SyntheticGammaDataset(cfg.data, mode="train")
+        val_ds = SyntheticGammaDataset(cfg.data, mode="val")
+    else:
+        import os
+
+        filelists = sorted(os.listdir(cfg.data.data_path))
+        folds = kfold_split(filelists, cfg.data.folds, cfg.data.split_seed)
+        train_files, val_files = folds[cfg.data.fold]
+        train_ds = GammaDataset(cfg.data, mode="train", filelists=list(train_files))
+        val_ds = GammaDataset(cfg.data, mode="val", filelists=list(val_files))
+    train_loader = BatchLoader(
+        train_ds, cfg.data.batch_size, shuffle=True, drop_last=True, seed=cfg.train.seed
+    )
+    val_loader = BatchLoader(
+        val_ds, cfg.data.eval_batch_size, shuffle=False, drop_last=True
+    )
+    return train_loader, val_loader
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    train_loader, val_loader = make_loaders(cfg)
+
+    from edrl_tpu.train.checkpoint import CheckpointManager
+    from edrl_tpu.train.trainer import fit, init_state, make_eval_step, make_model, run_eval
+
+    import os
+
+    ckpt_dir = os.path.join(
+        cfg.train.checkpoint_dir,
+        f"{cfg.data.dataset}_{cfg.data.noise.gaussian_high}_{cfg.train.name}",
+    )
+    mgr = CheckpointManager(ckpt_dir)
+
+    mesh = None
+    import jax
+
+    if len(jax.devices()) > 1:
+        from edrl_tpu.parallel import make_mesh
+
+        mesh = make_mesh(num_model=cfg.train.num_model_shards)
+
+    if cfg.train.mode in ("train", "train&test"):
+        state, result = fit(cfg, train_loader, val_loader, mesh=mesh, checkpoint_manager=mgr)
+        print(f"Best val accuracy {result.best_acc:.4f} at epoch {result.best_epoch}")
+    if cfg.train.mode in ("test", "train&test"):
+        _, state = init_state(cfg, cfg.train.seed)
+        if mgr.best_info() is not None:
+            state = mgr.restore(state, "best")
+        eval_step = make_eval_step(make_model(cfg), cfg)
+        from edrl_tpu.train.metrics import compute_uncertainty_metrics
+
+        m, targets, probs = run_eval(state, eval_step, val_loader, mesh=mesh)
+        print(
+            f"Test: Acc {m.accuracy:.4f} AUC {m.auc:.4f} F1 {m.f1:.4f} "
+            f"Precision {m.precision:.4f} Recall {m.recall:.4f} "
+            f"Specificity {m.specificity:.4f}"
+        )
+        suite = compute_uncertainty_metrics(targets, probs)
+        print("Uncertainty suite:", {k: round(v, 4) for k, v in suite.items()})
+        # Missing-modality sweep (BASELINE.json config 5).
+        for mask, label in (
+            (np.array([True, False]), "fundus-only"),
+            (np.array([False, True]), "oct-only"),
+        ):
+            mm, _, _ = run_eval(state, eval_step, val_loader, modality_mask=mask, mesh=mesh)
+            print(f"Missing-modality [{label}]: Acc {mm.accuracy:.4f} AUC {mm.auc:.4f}")
+
+
+if __name__ == "__main__":
+    main()
