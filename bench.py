@@ -64,16 +64,18 @@ def bench_train_step(batch_size: int = 16, steps: int = 20, remat: bool = True):
     batch = make_batch(batch_size, cfg.data, np.random.default_rng(0))
     key = jax.random.key(0)
 
-    # Warmup / compile.
+    # Warmup / compile.  float() forces a device->host round trip — on remote
+    # transports block_until_ready alone can return before execution
+    # completes, which would inflate the numbers.
     state, out = train_step(state, batch, key)
-    jax.block_until_ready(out["loss"])
+    float(out["loss"])
     state, out = train_step(state, batch, key)
-    jax.block_until_ready(out["loss"])
+    float(out["loss"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, out = train_step(state, batch, key)
-    jax.block_until_ready(out["loss"])
+    float(out["loss"])
     dt = time.perf_counter() - t0
     return batch_size * steps / dt
 

@@ -70,7 +70,10 @@ def init_state(cfg: EDRLConfig, rng_seed: int = 0) -> Tuple[MedFusion, TrainStat
         "sample": jax.random.key(rng_seed + 1),
         "dropout": jax.random.key(rng_seed + 2),
     }
-    variables = model.init(rngs, fundus, oct_vol, y, train=True)
+    # jit the init: eager init dispatches thousands of tiny ops one-by-one,
+    # which is pathological over remote-device transports.
+    init_fn = jax.jit(functools.partial(model.init, train=True))
+    variables = init_fn(rngs, fundus, oct_vol, y)
     tx = make_optimizer(cfg)
     params = variables["params"]
     return model, TrainState(
