@@ -22,7 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 # Round-1 self-baseline on TPU v5e-1 (updated as the framework speeds up).
-BASELINE_PAIRS_PER_SEC = 11.04
+# History: 60.3 (first working step, Swin-B heads, remat) -> 71.7 (no remat)
+# -> 120.6 (head_dim-128 window attention).
+BASELINE_PAIRS_PER_SEC = 60.3
 
 
 def make_batch(batch_size: int, data_cfg, rng):
