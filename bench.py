@@ -45,7 +45,7 @@ def make_batch(batch_size: int, data_cfg, rng):
     }
 
 
-def bench_train_step(batch_size: int = 16, steps: int = 20, remat: bool = True):
+def bench_train_step(batch_size: int = 16, steps: int = 20, remat: bool = False):
     import dataclasses
 
     from edrl_tpu.config import DataConfig, EDRLConfig, ModelConfig, TrainConfig
@@ -58,7 +58,10 @@ def bench_train_step(batch_size: int = 16, steps: int = 20, remat: bool = True):
 
     cfg = EDRLConfig(
         data=DataConfig(batch_size=batch_size),
-        model=ModelConfig(use_bfloat16=True, remat=remat),
+        # batch 16 fits HBM without any remat — fastest measured config.
+        model=ModelConfig(
+            use_bfloat16=True, remat=remat, remat_attention=(batch_size > 16)
+        ),
         train=TrainConfig(),
     )
     _, state = init_state(cfg, 0)

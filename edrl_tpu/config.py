@@ -102,6 +102,10 @@ class ModelConfig:
     # Compute precision: bf16 activations/matmuls with f32 params & reductions.
     use_bfloat16: bool = True
     remat: bool = False  # jax.checkpoint over backbone blocks
+    # Remat only the window attention (its [G, N, N] f32 scores dominate
+    # activation memory).  Needed for batch >= ~32 at full size on 16G HBM;
+    # costs ~8% step time at batch 16.
+    remat_attention: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -83,6 +83,7 @@ class MedFusion(nn.Module):
             window=cfg.swin_window,
             dtype=dtype,
             remat=cfg.remat,
+            remat_attention=cfg.remat_attention,
             name="transformer_2d",
         )(fundus, deterministic=not train)
         tokens_o, _ = ViT3D(

@@ -126,6 +126,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    remat_attention: bool = True
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -141,11 +142,20 @@ class SwinBlock(nn.Module):
             mask = _shift_attn_mask(self.grid, window, shift)
         else:
             mask = None
-        xw = window_partition(x, window)
-        xw = WindowAttention(self.dim, window, self.num_heads, dtype=self.dtype)(
-            xw, mask=mask
-        )
-        x = window_merge(xw, window, h, w)
+        attn = WindowAttention(self.dim, window, self.num_heads, dtype=self.dtype)
+
+        def attend(mdl, xin):
+            xw = window_partition(xin, window)
+            xw = mdl(xw, mask=mask)
+            return window_merge(xw, window, h, w)
+
+        if self.remat_attention:
+            # Rematerialize only the attention: its [G, N, N] f32 score
+            # tensors dominate activation memory (the MLP activations are
+            # cheap to keep), so this buys most of full-remat's memory saving
+            # at a fraction of the recompute.
+            attend = nn.remat(attend)
+        x = attend(attn, x)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
         x = shortcut + x
@@ -188,6 +198,7 @@ class SwinTransformer2D(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     remat: bool = False
+    remat_attention: bool = True
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True) -> Tuple[jax.Array, jax.Array]:
@@ -217,6 +228,7 @@ class SwinTransformer2D(nn.Module):
                     mlp_ratio=self.mlp_ratio,
                     dropout=self.dropout,
                     dtype=self.dtype,
+                    remat_attention=self.remat_attention and not self.remat,
                 )(x, deterministic=deterministic)
             if stage != len(self.depths) - 1:
                 x = PatchMerging(dim=dim, dtype=self.dtype)(x)

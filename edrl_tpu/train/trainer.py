@@ -43,20 +43,74 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-def make_model(cfg: EDRLConfig) -> MedFusion:
-    return MedFusion(
-        cfg=cfg.model, fundus_size=cfg.data.fundus_size, oct_size=cfg.data.oct_size
-    )
+def make_model(cfg: EDRLConfig):
+    """Build the configured model via the registry (``--model_name`` parity,
+    ``fusion_train.py:657-739``).  Every registry model shares the signature
+    ``(fundus, oct_vol, y, train=...)`` and returns either the MedFusion
+    4-tuple or the baseline 3-tuple; ``_normalize_output`` unifies them."""
+    from edrl_tpu.baselines.registry import build_baseline
+
+    model, _ = build_baseline(cfg.model.model_name, cfg)
+    return model
+
+
+def _normalize_output(out):
+    """(logits, loss, features[, aux]) -> (logits, loss, features, aux)."""
+    if len(out) == 3:
+        return out[0], out[1], out[2], {}
+    return out
 
 
 def make_optimizer(cfg: EDRLConfig) -> optax.GradientTransformation:
     """Adam(lr, weight_decay) parity with ``fusion_train.py:747`` (torch Adam
     folds decay into the gradient before the moments — ``add_decayed_weights``
-    upstream of adam reproduces that)."""
+    upstream of adam reproduces that).  Deep-ensemble member names carry the
+    reference's per-member lr overrides (``fusion_train.py:694-716``).  When
+    the plateau schedule is enabled it is actually stepped via
+    ``optax.contrib.reduce_on_plateau`` (reference defect ledger #10: the
+    scheduler existed but was never stepped)."""
+    from edrl_tpu.baselines.registry import ENSEMBLE_LRS
+
+    lr = ENSEMBLE_LRS.get(cfg.model.model_name, cfg.train.lr)
     return optax.chain(
         optax.add_decayed_weights(cfg.train.weight_decay),
-        optax.adam(cfg.train.lr),
+        optax.inject_hyperparams(optax.adam)(learning_rate=lr),
     )
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Mutate the injected lr hyperparam (used by the plateau schedule)."""
+    opt_state = list(state.opt_state)
+    inner = opt_state[1]
+    hyperparams = dict(inner.hyperparams)
+    hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    opt_state[1] = inner._replace(hyperparams=hyperparams)
+    return state.replace(opt_state=tuple(opt_state))
+
+
+class PlateauTracker:
+    """ReduceLROnPlateau(mode=min, factor, patience) host-side logic —
+    the reference constructed this but never stepped it (ledger #10); here it
+    runs when ``use_plateau_schedule`` is on."""
+
+    def __init__(self, lr: float, factor: float, patience: int):
+        self.lr = lr
+        self.factor = factor
+        self.patience = patience
+        self.best = float("inf")
+        self.bad_epochs = 0
+
+    def step(self, val_loss: float) -> Optional[float]:
+        if val_loss < self.best - 1e-8:
+            self.best = val_loss
+            self.bad_epochs = 0
+            return None
+        self.bad_epochs += 1
+        if self.bad_epochs > self.patience:
+            self.lr *= self.factor
+            self.bad_epochs = 0
+            return self.lr
+        return None
 
 
 def init_state(cfg: EDRLConfig, rng_seed: int = 0) -> Tuple[MedFusion, TrainState]:
@@ -96,7 +150,7 @@ def make_train_step(model: MedFusion, tx: optax.GradientTransformation, cfg: EDR
         y = batch["label"]
 
         def loss_fn(params):
-            (logits, loss1, feat1, aux), upd1 = model.apply(
+            out1, upd1 = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["fundus_low"],
                 batch["oct_low"],
@@ -105,9 +159,10 @@ def make_train_step(model: MedFusion, tx: optax.GradientTransformation, cfg: EDR
                 rngs={"sample": k_s1, "dropout": k_d1},
                 mutable=["batch_stats"],
             )
+            logits, loss1, feat1, aux = _normalize_output(out1)
             # Second full forward on the high-noise view; its own loss is
             # discarded, only features feed MK-MMD (``fusion_train.py:194``).
-            (_, _, feat2, _), upd2 = model.apply(
+            out2, upd2 = model.apply(
                 {"params": params, "batch_stats": upd1["batch_stats"]},
                 batch["fundus_high"],
                 batch["oct_high"],
@@ -116,6 +171,7 @@ def make_train_step(model: MedFusion, tx: optax.GradientTransformation, cfg: EDR
                 rngs={"sample": k_s2, "dropout": k_d2},
                 mutable=["batch_stats"],
             )
+            feat2 = _normalize_output(out2)[2]
             mmd = mk_mmd(feat1, feat2, kernel_mul=kernel_mul, kernel_num=kernel_num)
             loss = loss1 + mmd
             return loss, (upd2["batch_stats"], logits, aux, mmd)
@@ -139,18 +195,28 @@ def make_train_step(model: MedFusion, tx: optax.GradientTransformation, cfg: EDR
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def make_eval_step(model: MedFusion, cfg: EDRLConfig):
-    """Eval on the LOW-noise view only (parity ``fusion_train.py:277``)."""
+def make_eval_step(model, cfg: EDRLConfig):
+    """Eval on the LOW-noise view only (parity ``fusion_train.py:277``).
+
+    Missing-modality masking: MedFusion takes the mask natively (PoE expert
+    exclusion); baselines get the absent modality's input zeroed.
+    """
+    native_mask = isinstance(model, MedFusion)
 
     def step_fn(state: TrainState, batch, modality_mask=None):
-        logits, loss, _, aux = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch["fundus_low"],
-            batch["oct_low"],
-            batch["label"],
-            train=False,
-            modality_mask=modality_mask,
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        fundus, oct_vol = batch["fundus_low"], batch["oct_low"]
+        kwargs = {}
+        if modality_mask is not None:
+            if native_mask:
+                kwargs["modality_mask"] = modality_mask
+            else:
+                fundus = fundus * modality_mask[0].astype(fundus.dtype)
+                oct_vol = oct_vol * modality_mask[1].astype(oct_vol.dtype)
+        out = model.apply(
+            variables, fundus, oct_vol, batch["label"], train=False, **kwargs
         )
+        logits, loss, _, _ = _normalize_output(out)
         return {"loss": loss, "probs": jax.nn.softmax(logits, axis=-1)}
 
     return jax.jit(step_fn)
@@ -229,6 +295,15 @@ def fit(
             )
         )
 
+    plateau = None
+    if cfg.train.use_plateau_schedule:
+        from edrl_tpu.baselines.registry import ENSEMBLE_LRS
+
+        lr0 = ENSEMBLE_LRS.get(cfg.model.model_name, cfg.train.lr)
+        plateau = PlateauTracker(
+            lr0, cfg.train.plateau_factor, cfg.train.plateau_patience
+        )
+
     best_acc, best_epoch = 0.0, -1
     train_hist, val_hist = [], []
     for epoch in range(cfg.train.start_epoch, cfg.train.end_epochs + 1):
@@ -267,5 +342,11 @@ def fit(
             best_acc, best_epoch = vm.accuracy, epoch
             if checkpoint_manager is not None:
                 checkpoint_manager.save_best(state, epoch, best_acc)
+        if plateau is not None:
+            new_lr = plateau.step(vm.loss)
+            if new_lr is not None:
+                state = set_learning_rate(state, new_lr)
+                if verbose:
+                    print(f"Plateau: reducing lr to {new_lr:g}")
 
     return state, FitResult(train_hist, val_hist, best_acc, best_epoch)
