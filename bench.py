@@ -21,6 +21,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: repeat bench runs skip the multi-minute
+# XLA compile of the full train step.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 # Round-1 self-baseline on TPU v5e-1 (updated as the framework speeds up).
 # History: 60.3 (first working step, Swin-B heads, remat) -> 71.7 (no remat)
 # -> 120.6 (head_dim-128 window attention).
