@@ -101,7 +101,23 @@ def make_loaders(cfg: EDRLConfig):
     if cfg.data.dataset == "synthetic":
         train_ds = SyntheticGammaDataset(cfg.data, mode="train")
         val_ds = SyntheticGammaDataset(cfg.data, mode="val")
+    elif cfg.data.dataset == "glu2":
+        # glu2 branch: sequential 80/20 split of the label-file id order
+        # (``fusion_train.py:619-631``), not k-fold.
+        import pandas as pd
+
+        df = (
+            pd.read_csv(cfg.data.label_file)
+            if cfg.data.label_file.endswith(".csv")
+            else pd.read_excel(cfg.data.label_file)
+        )
+        ids = [str(x).zfill(5) for x in df["data"].astype(str).values]
+        n_train = int(len(ids) * 0.8)
+        train_ds = GammaDataset(cfg.data, mode="train", filelists=ids[:n_train])
+        val_ds = GammaDataset(cfg.data, mode="val", filelists=ids[n_train:])
     else:
+        # dr2 and other GAMMA-layout datasets: shuffled 5-fold
+        # (``fusion_train.py:564``).
         import os
 
         filelists = sorted(os.listdir(cfg.data.data_path))

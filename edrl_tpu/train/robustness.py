@@ -1,0 +1,78 @@
+"""Robustness evaluation: noise sweeps and missing-modality grids.
+
+The reference's robustness axis is input corruption
+(``Condition_G_Variance = [0.1, 0.2, 0.3, 0.4, 0.5]``,
+``fusion_train.py:548``) evaluated by rebuilding the dataset at each noise
+level; the eval loop consumes the LOW-noise view (``fusion_train.py:277``),
+so the sweep sets ``gaussian_low`` to the probe sigma.  Combined with the
+modality-dropout grid this covers BASELINE.json config 5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from edrl_tpu.config import EDRLConfig
+from edrl_tpu.data import BatchLoader
+from edrl_tpu.train.trainer import TrainState, make_eval_step, make_model, run_eval
+
+DEFAULT_SIGMAS = (0.0, 0.1, 0.2, 0.3, 0.4, 0.5)
+
+MODALITY_GRID = {
+    "both": None,
+    "fundus-only": np.array([True, False]),
+    "oct-only": np.array([False, True]),
+}
+
+
+def _dataset_for(cfg: EDRLConfig, sigma: float):
+    noise = dataclasses.replace(cfg.data.noise, condition="noise", gaussian_low=sigma)
+    data_cfg = dataclasses.replace(cfg.data, noise=noise)
+    if cfg.data.dataset == "synthetic":
+        from edrl_tpu.data import SyntheticGammaDataset
+
+        return SyntheticGammaDataset(data_cfg, mode="val")
+    from edrl_tpu.data import GammaDataset
+
+    return GammaDataset(data_cfg, mode="val")
+
+
+def noise_sweep(
+    cfg: EDRLConfig,
+    state: TrainState,
+    sigmas: Sequence[float] = DEFAULT_SIGMAS,
+    modalities: Optional[Sequence[str]] = None,
+    mesh=None,
+) -> Dict[str, Dict[float, dict]]:
+    """Returns {modality: {sigma: EpochMetrics-as-dict}}."""
+    eval_step = make_eval_step(make_model(cfg), cfg)
+    modalities = list(modalities or MODALITY_GRID)
+    results: Dict[str, Dict[float, dict]] = {m: {} for m in modalities}
+    for sigma in sigmas:
+        loader = BatchLoader(
+            _dataset_for(cfg, sigma),
+            cfg.data.eval_batch_size,
+            shuffle=False,
+            drop_last=True,
+            num_workers=4,
+        )
+        for modality in modalities:
+            mask = MODALITY_GRID[modality]
+            m, _, _ = run_eval(
+                state, eval_step, loader, modality_mask=mask, mesh=mesh
+            )
+            results[modality][sigma] = m.as_dict()
+    return results
+
+
+def format_sweep(results: Dict[str, Dict[float, dict]]) -> str:
+    lines = ["modality\tsigma\taccuracy\tauc\tf1"]
+    for modality, by_sigma in results.items():
+        for sigma, m in sorted(by_sigma.items()):
+            lines.append(
+                f"{modality}\t{sigma:.2f}\t{m['accuracy']:.4f}\t{m['auc']:.4f}\t{m['f1']:.4f}"
+            )
+    return "\n".join(lines)
