@@ -104,8 +104,10 @@ class ModelConfig:
     remat: bool = False  # jax.checkpoint over backbone blocks
     # Remat only the window attention (its [G, N, N] f32 scores dominate
     # activation memory).  Needed for batch >= ~32 at full size on 16G HBM;
-    # costs ~8% step time at batch 16.
+    # costs ~8% step time at batch 16.  Moot when use_fused_attention is on.
     remat_attention: bool = True
+    # Fused Pallas window attention: scores stay VMEM-resident, custom VJP.
+    use_fused_attention: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -181,6 +183,9 @@ def tiny_test_config(batch_size: int = 4) -> EDRLConfig:
         proxy_topk=8,
         num_heads=4,
         use_bfloat16=False,
+        # Interpret-mode Pallas is slow on CPU; the kernel has its own tests.
+        use_fused_attention=False,
+        remat_attention=False,
     )
     train = TrainConfig(lr=1e-3, end_epochs=2)
     return EDRLConfig(data=data, model=model, train=train)

@@ -1,0 +1,174 @@
+"""Fused Pallas TPU window attention (forward + custom backward).
+
+The Swin window attention is EDRL's hottest op after the MLPs; the XLA path
+materializes f32 ``[B*nW, N, N]`` score tensors through HBM (the dominant
+activation-memory term — they force remat at batch >= 32 and cost a full
+HBM round-trip per block).  This kernel computes
+``softmax(q @ k^T + bias) @ v`` per (batch, window, head) program with the
+scores resident in VMEM only, f32 softmax, bf16 in/out.
+
+Layout: ``q, k, v: [B, W, H, N, D]``, ``bias: [W, H, N, N]`` (relative
+position bias broadcast over windows + shift mask already added; bias grad
+flows back to the learnable table through the caller's bias construction).
+Grid is ``(H, W, B)`` with batch innermost so the backward kernel can
+accumulate ``dbias[w, h]`` across consecutive batch programs while the block
+stays resident in VMEM.
+
+N = window^2 (144 for window 12) must be a multiple of 8; D is the head dim
+(128 with the TPU-first head layout — exactly one MXU tile).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    q = q_ref[0, 0, 0].astype(jnp.float32)  # [N, D]
+    k = k_ref[0, 0, 0].astype(jnp.float32)
+    v = v_ref[0, 0, 0].astype(jnp.float32)
+    bias = bias_ref[0, 0].astype(jnp.float32)  # [N, N]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + bias
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) / l
+    o_ref[0, 0, 0] = o.astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref, dbias_ref):
+    b_idx = pl.program_id(2)
+    q = q_ref[0, 0, 0].astype(jnp.float32)
+    k = k_ref[0, 0, 0].astype(jnp.float32)
+    v = v_ref[0, 0, 0].astype(jnp.float32)
+    bias = bias_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0, 0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + bias
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / l  # normalized attention weights [N, N]
+
+    # dP = do @ v^T ; ds = P * (dP - rowsum(dP * P))
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - delta)
+
+    dv = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0, 0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0, 0] = dv.astype(dv_ref.dtype)
+
+    # Accumulate dbias over the (innermost) batch grid dimension: the block
+    # index is constant in b, so the accumulator stays resident in VMEM.
+    @pl.when(b_idx == 0)
+    def _():
+        dbias_ref[0, 0] = ds
+
+    @pl.when(b_idx != 0)
+    def _():
+        dbias_ref[0, 0] = dbias_ref[0, 0] + ds
+
+
+def _qkv_specs(n, d):
+    return pl.BlockSpec((1, 1, 1, n, d), lambda h, w, b: (b, w, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _bias_spec(n):
+    return pl.BlockSpec((1, 1, n, n), lambda h, w, b: (w, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_call(q, k, v, bias, interpret):
+    B, W, H, N, D = q.shape
+    return pl.pallas_call(
+        _attn_fwd_kernel,
+        grid=(H, W, B),
+        in_specs=[_qkv_specs(N, D)] * 3 + [_bias_spec(N)],
+        out_specs=_qkv_specs(N, D),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+def _bwd_call(q, k, v, bias, do, interpret):
+    B, W, H, N, D = q.shape
+    dq, dk, dv, dbias = pl.pallas_call(
+        _attn_bwd_kernel,
+        grid=(H, W, B),
+        in_specs=[_qkv_specs(N, D)] * 3 + [_bias_spec(N), _qkv_specs(N, D)],
+        out_specs=(
+            _qkv_specs(N, D),
+            _qkv_specs(N, D),
+            _qkv_specs(N, D),
+            _bias_spec(N),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(bias.shape, jnp.float32),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias, do)
+    return dq, dk, dv, dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def window_attention_fused(q, k, v, bias, interpret: bool = False):
+    """softmax(q @ k^T + bias) @ v, fused per (b, w, h) program.
+
+    q, k, v: ``[B, W, H, N, D]`` (q pre-scaled by 1/sqrt(D));
+    bias: ``[W, H, N, N]`` float32.  Returns ``[B, W, H, N, D]`` in q's dtype.
+    """
+    return _fwd_call(q, k, v, bias, interpret)
+
+
+def _fused_fwd(q, k, v, bias, interpret):
+    o = _fwd_call(q, k, v, bias, interpret)
+    return o, (q, k, v, bias)
+
+
+def _fused_bwd(interpret, res, do):
+    q, k, v, bias = res
+    dq, dk, dv, dbias = _bwd_call(q, k, v, bias, do, interpret)
+    return dq, dk, dv, dbias
+
+
+window_attention_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def window_attention_reference(q, k, v, bias):
+    """XLA reference implementation (same layout) for testing/fallback."""
+    s = jnp.einsum(
+        "bwhnd,bwhmd->bwhnm", q.astype(jnp.float32), k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) + bias[None]
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bwhnm,bwhmd->bwhnd", p, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)

@@ -84,6 +84,7 @@ class MedFusion(nn.Module):
             dtype=dtype,
             remat=cfg.remat,
             remat_attention=cfg.remat_attention,
+            use_fused_attention=cfg.use_fused_attention,
             name="transformer_2d",
         )(fundus, deterministic=not train)
         tokens_o, _ = ViT3D(

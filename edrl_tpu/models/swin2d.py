@@ -81,6 +81,8 @@ class WindowAttention(nn.Module):
     dim: int
     window: int
     num_heads: int
+    num_windows: int = 1
+    use_fused: bool = False  # Pallas fused kernel (VMEM-resident scores)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -90,8 +92,6 @@ class WindowAttention(nn.Module):
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(bnw, n, 3, self.num_heads, head_dim)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
 
         table = self.param(
             "rel_bias_table",
@@ -100,20 +100,40 @@ class WindowAttention(nn.Module):
         )
         idx = _relative_position_index(self.window)
         bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
-        bias = bias.transpose(2, 0, 1)[None]  # [1, heads, n, n]
+        bias = bias.transpose(2, 0, 1)  # [heads, n, n]
 
-        if mask is not None:
-            nw = mask.shape[0]
-            m = jnp.asarray(mask)[None, :, None, :, :]  # [1, nW, 1, n, n]
-            attn_bias = bias[:, None] + m  # [1, nW, heads, n, n]
-            q = q.reshape(-1, nw, self.num_heads, n, head_dim)
-            k = k.reshape(-1, nw, self.num_heads, n, head_dim)
-            v = v.reshape(-1, nw, self.num_heads, n, head_dim)
-            out = scaled_dot_attention(q, k, v, scale, bias=attn_bias)
-            out = out.reshape(bnw, self.num_heads, n, head_dim)
+        if self.use_fused:
+            from edrl_tpu.kernels.window_attention import window_attention_fused
+
+            nw = self.num_windows
+            b = bnw // nw
+            qkv = qkv.reshape(b, nw, n, 3, self.num_heads, head_dim)
+            qkv = qkv.transpose(3, 0, 1, 4, 2, 5)  # [3, B, W, H, N, D]
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            full_bias = jnp.broadcast_to(
+                bias[None].astype(jnp.float32), (nw, self.num_heads, n, n)
+            )
+            if mask is not None:
+                full_bias = full_bias + jnp.asarray(mask)[:, None, :, :]
+            interpret = jax.default_backend() == "cpu"
+            out = window_attention_fused(q * scale, k, v, full_bias, interpret)
+            out = out.transpose(0, 1, 3, 2, 4).reshape(bnw, n, self.dim)
         else:
-            out = scaled_dot_attention(q, k, v, scale, bias=bias)
-        out = out.transpose(0, 2, 1, 3).reshape(bnw, n, self.dim)
+            qkv = qkv.reshape(bnw, n, 3, self.num_heads, head_dim)
+            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+            bias = bias[None]  # [1, heads, n, n]
+            if mask is not None:
+                nw = mask.shape[0]
+                m = jnp.asarray(mask)[None, :, None, :, :]  # [1, nW, 1, n, n]
+                attn_bias = bias[:, None] + m  # [1, nW, heads, n, n]
+                q = q.reshape(-1, nw, self.num_heads, n, head_dim)
+                k = k.reshape(-1, nw, self.num_heads, n, head_dim)
+                v = v.reshape(-1, nw, self.num_heads, n, head_dim)
+                out = scaled_dot_attention(q, k, v, scale, bias=attn_bias)
+                out = out.reshape(bnw, self.num_heads, n, head_dim)
+            else:
+                out = scaled_dot_attention(q, k, v, scale, bias=bias)
+            out = out.transpose(0, 2, 1, 3).reshape(bnw, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
@@ -127,6 +147,7 @@ class SwinBlock(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     remat_attention: bool = True
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -142,18 +163,27 @@ class SwinBlock(nn.Module):
             mask = _shift_attn_mask(self.grid, window, shift)
         else:
             mask = None
-        attn = WindowAttention(self.dim, window, self.num_heads, dtype=self.dtype)
+        num_windows = (self.grid // window) ** 2
+        attn = WindowAttention(
+            self.dim,
+            window,
+            self.num_heads,
+            num_windows=num_windows,
+            use_fused=self.use_fused_attention,
+            dtype=self.dtype,
+        )
 
         def attend(mdl, xin):
             xw = window_partition(xin, window)
             xw = mdl(xw, mask=mask)
             return window_merge(xw, window, h, w)
 
-        if self.remat_attention:
+        if self.remat_attention and not self.use_fused_attention:
             # Rematerialize only the attention: its [G, N, N] f32 score
             # tensors dominate activation memory (the MLP activations are
             # cheap to keep), so this buys most of full-remat's memory saving
-            # at a fraction of the recompute.
+            # at a fraction of the recompute.  The fused Pallas kernel makes
+            # this moot — its scores never leave VMEM.
             attend = nn.remat(attend)
         x = attend(attn, x)
         if shift > 0:
@@ -199,6 +229,7 @@ class SwinTransformer2D(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     remat_attention: bool = True
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True) -> Tuple[jax.Array, jax.Array]:
@@ -229,6 +260,7 @@ class SwinTransformer2D(nn.Module):
                     dropout=self.dropout,
                     dtype=self.dtype,
                     remat_attention=self.remat_attention and not self.remat,
+                    use_fused_attention=self.use_fused_attention,
                 )(x, deterministic=deterministic)
             if stage != len(self.depths) - 1:
                 x = PatchMerging(dim=dim, dtype=self.dtype)(x)

@@ -1,0 +1,89 @@
+"""Fused window attention kernel: value + gradient parity vs XLA reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edrl_tpu.kernels.window_attention import (
+    window_attention_fused,
+    window_attention_reference,
+)
+
+
+@pytest.fixture
+def inputs(rng):
+    B, W, H, N, D = 2, 4, 2, 16, 8
+    q = jnp.asarray(rng.normal(size=(B, W, H, N, D)).astype(np.float32)) * 0.2
+    k = jnp.asarray(rng.normal(size=(B, W, H, N, D)).astype(np.float32)) * 0.2
+    v = jnp.asarray(rng.normal(size=(B, W, H, N, D)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(W, H, N, N)).astype(np.float32)) * 0.1
+    return q, k, v, bias
+
+
+class TestForward:
+    def test_matches_reference(self, inputs):
+        q, k, v, bias = inputs
+        got = window_attention_fused(q, k, v, bias, True)
+        want = window_attention_reference(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_with_shift_mask_semantics(self, inputs):
+        """-1e9 bias entries zero the corresponding attention weights."""
+        q, k, v, bias = inputs
+        bias = bias.at[:, :, :, 0].set(-1e9)  # no one attends to key 0
+        got = np.asarray(window_attention_fused(q, k, v, bias, True))
+        # output = weighted sum excluding v[..., 0, :]
+        want = np.asarray(window_attention_reference(q, k, v, bias))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_bf16_io(self, inputs):
+        q, k, v, bias = inputs
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        got = window_attention_fused(qb, kb, vb, bias, True)
+        assert got.dtype == jnp.bfloat16
+        want = window_attention_reference(qb, kb, vb, bias)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2
+        )
+
+
+class TestBackward:
+    def test_grads_match_reference(self, inputs):
+        q, k, v, bias = inputs
+
+        def loss_fused(q, k, v, bias):
+            return jnp.sum(jnp.square(window_attention_fused(q, k, v, bias, True)))
+
+        def loss_ref(q, k, v, bias):
+            return jnp.sum(jnp.square(window_attention_reference(q, k, v, bias)))
+
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for name, a, b in zip("qkvb", g_fused, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
+                err_msg=f"grad mismatch for {name}",
+            )
+
+    def test_dbias_accumulates_over_batch(self, rng):
+        """dbias must sum over the batch dimension (W=1 case isolates it)."""
+        B, W, H, N, D = 3, 1, 1, 8, 8
+        q = jnp.asarray(rng.normal(size=(B, W, H, N, D)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, W, H, N, D)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, W, H, N, D)).astype(np.float32))
+        bias = jnp.zeros((W, H, N, N), jnp.float32)
+
+        g_full = jax.grad(
+            lambda b: jnp.sum(window_attention_fused(q, k, v, b, True)), 0
+        )(bias)
+        g_sum = sum(
+            jax.grad(
+                lambda b, i=i: jnp.sum(
+                    window_attention_fused(q[i : i + 1], k[i : i + 1], v[i : i + 1], b, True)
+                ),
+                0,
+            )(bias)
+            for i in range(B)
+        )
+        np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_sum), atol=1e-4)
