@@ -51,8 +51,14 @@ def make_batch(batch_size: int, data_cfg, rng):
 
 
 def bench_train_step(batch_size: int = 16, steps: int = 20, remat: bool = False):
-    import dataclasses
+    """Device throughput of the dual-view train step.
 
+    The ``steps`` optimizer steps run inside ONE jitted ``lax.scan`` program —
+    exactly how a production loop with an on-device data queue behaves — so
+    the number reflects device time, not host/transport dispatch overhead.
+    ``float()`` on the result forces a device->host round trip (on remote
+    transports ``block_until_ready`` alone can return early).
+    """
     from edrl_tpu.config import DataConfig, EDRLConfig, ModelConfig, TrainConfig
     from edrl_tpu.train.trainer import (
         init_state,
@@ -63,29 +69,29 @@ def bench_train_step(batch_size: int = 16, steps: int = 20, remat: bool = False)
 
     cfg = EDRLConfig(
         data=DataConfig(batch_size=batch_size),
-        # batch 16 fits HBM without any remat — fastest measured config.
-        model=ModelConfig(
-            use_bfloat16=True, remat=remat, remat_attention=(batch_size > 16)
-        ),
+        model=ModelConfig(use_bfloat16=True, remat=remat),
         train=TrainConfig(),
     )
     _, state = init_state(cfg, 0)
-    train_step = make_train_step(make_model(cfg), make_optimizer(cfg), cfg)
+    train_step = make_train_step(make_model(cfg), make_optimizer(cfg), cfg, jit=False)
     batch = make_batch(batch_size, cfg.data, np.random.default_rng(0))
     key = jax.random.key(0)
 
-    # Warmup / compile.  float() forces a device->host round trip — on remote
-    # transports block_until_ready alone can return before execution
-    # completes, which would inflate the numbers.
-    state, out = train_step(state, batch, key)
-    float(out["loss"])
-    state, out = train_step(state, batch, key)
-    float(out["loss"])
+    @jax.jit
+    def run_steps(state, batch, key):
+        def body(carry, _):
+            new_state, out = train_step(carry, batch, key)
+            return new_state, out["loss"]
 
+        state, losses = jax.lax.scan(body, state, None, length=steps)
+        return state, losses
+
+    # Warmup / compile (one scan program).
+    _, losses = run_steps(state, batch, key)
+    float(losses[-1])
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, out = train_step(state, batch, key)
-    float(out["loss"])
+    state, losses = run_steps(state, batch, key)
+    float(losses[-1])
     dt = time.perf_counter() - t0
     return batch_size * steps / dt
 

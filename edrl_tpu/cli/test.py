@@ -15,6 +15,9 @@ from edrl_tpu.cli.train import build_parser, config_from_args, make_loaders
 
 
 def main(argv=None):
+    from edrl_tpu.cli.train import _enable_compile_cache
+
+    _enable_compile_cache()
     parser = build_parser()
     parser.add_argument("--checkpoint", default="")
     args = parser.parse_args(argv)

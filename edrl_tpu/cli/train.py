@@ -134,7 +134,18 @@ def make_loaders(cfg: EDRLConfig):
     return train_loader, val_loader
 
 
+def _enable_compile_cache():
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None):
+    _enable_compile_cache()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     train_loader, val_loader = make_loaders(cfg)

@@ -138,8 +138,13 @@ def init_state(cfg: EDRLConfig, rng_seed: int = 0) -> Tuple[MedFusion, TrainStat
     )
 
 
-def make_train_step(model: MedFusion, tx: optax.GradientTransformation, cfg: EDRLConfig):
-    """One jitted step: dual forward + MK-MMD + backward + Adam update."""
+def make_train_step(
+    model, tx: optax.GradientTransformation, cfg: EDRLConfig, jit: bool = True
+):
+    """One jitted step: dual forward + MK-MMD + backward + Adam update.
+
+    ``jit=False`` returns the raw step function for embedding inside a larger
+    jitted program (e.g. a multi-step ``lax.scan`` in ``bench.py``)."""
 
     kernel_mul = cfg.train.mmd_kernel_mul
     kernel_num = cfg.train.mmd_kernel_num
@@ -192,7 +197,7 @@ def make_train_step(model: MedFusion, tx: optax.GradientTransformation, cfg: EDR
         out.update({k: v for k, v in aux.items()})
         return new_state, out
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,)) if jit else step_fn
 
 
 def make_eval_step(model, cfg: EDRLConfig):
