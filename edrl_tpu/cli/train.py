@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_model_shards", type=int, default=1)
     p.add_argument("--no_bfloat16", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument(
+        "--host_noise",
+        action="store_true",
+        help="build noise views on the host (reference parity) instead of on-device",
+    )
     p.add_argument("--synthetic_samples", type=int, default=128)
     return p
 
@@ -75,6 +80,7 @@ def config_from_args(args) -> EDRLConfig:
         fold=int(args.folder[-1]) if args.folder[-1].isdigit() else 0,
         noise=noise,
         num_synthetic_samples=args.synthetic_samples,
+        device_noise=not args.host_noise,
     )
     model = ModelConfig(
         model_name=args.model_name,

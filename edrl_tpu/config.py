@@ -62,6 +62,10 @@ class DataConfig:
     hflip_prob: float = 0.5
     noise: NoiseConfig = dataclasses.field(default_factory=NoiseConfig)
     seed: int = 11  # reference ``args.seed_idx = 11``; here it keys per-sample PRNG
+    # Build the dual noise views on-device inside the jitted step (half the
+    # host->device transfer, no host noise cost).  False = host path with
+    # per-view augmentation draws (full reference parity).
+    device_noise: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,6 +112,10 @@ class ModelConfig:
     remat_attention: bool = True
     # Fused Pallas window attention: scores stay VMEM-resident, custom VJP.
     use_fused_attention: bool = True
+    # Same kernel on the 3-D ViT self-attention — measured slightly slower at
+    # head_dim 64 (one 216-token window per program underfills the MXU), so
+    # off by default; revisit with window blocking.
+    vit_fused_attention: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

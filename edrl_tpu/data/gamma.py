@@ -113,6 +113,22 @@ class GammaDataset:
         sid, one_hot = self.samples[index]
         fundus, vol = self._load_raw(sid)
         rng = sample_rng(self.cfg.seed, epoch, index)
+        if self.cfg.device_noise:
+            if self.mode == "train":
+                fundus = fundus_train_augment(
+                    fundus,
+                    rng,
+                    jitter_prob=self.cfg.color_jitter_prob,
+                    grayscale_prob=self.cfg.grayscale_prob,
+                    hflip_prob=self.cfg.hflip_prob,
+                    jitter_strength=self.cfg.color_jitter_strength,
+                )
+                vol = oct_train_augment(vol, rng, self.cfg.hflip_prob)
+            return {
+                "fundus": fundus,
+                "oct": vol,
+                "label": np.int32(np.argmax(one_hot)),
+            }
         views = make_noise_views(fundus, vol, self.cfg.noise, rng)
         if self.mode == "train":
             for key in ("fundus_low", "fundus_high"):

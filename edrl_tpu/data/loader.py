@@ -47,7 +47,7 @@ def _stack_batch(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     for key in samples[0]:
         batch[key] = np.stack([s[key] for s in samples])
     # Model-facing layout: fundus NHWC, OCT NDHWC (add channel dim).
-    for key in ("oct_low", "oct_high"):
+    for key in ("oct_low", "oct_high", "oct"):
         if key in batch and batch[key].ndim == 4:
             batch[key] = batch[key][..., None]
     return batch

@@ -57,6 +57,19 @@ class SyntheticGammaDataset:
     def get(self, index: int, epoch: int = 0) -> Dict[str, np.ndarray]:
         fundus, oct_vol, label = self._base_sample(index)
         rng = sample_rng(self.cfg.seed, epoch, index)
+        if self.cfg.device_noise:
+            # Single clean view; the jitted step builds both noise views.
+            if self.mode == "train":
+                fundus = fundus_train_augment(
+                    fundus,
+                    rng,
+                    jitter_prob=self.cfg.color_jitter_prob,
+                    grayscale_prob=self.cfg.grayscale_prob,
+                    hflip_prob=self.cfg.hflip_prob,
+                    jitter_strength=self.cfg.color_jitter_strength,
+                )
+                oct_vol = oct_train_augment(oct_vol, rng, self.cfg.hflip_prob)
+            return {"fundus": fundus, "oct": oct_vol, "label": np.int32(label)}
         views = make_noise_views(fundus, oct_vol, self.cfg.noise, rng)
         if self.mode == "train":
             for key in ("fundus_low", "fundus_high"):

@@ -64,12 +64,16 @@ class MultiHeadAttention(nn.Module):
     Generalizes the reference's ``MIAttention`` (``fusion_net.py:258-285``,
     self-attention when ``q is kv``) and the ``nn.MultiheadAttention`` inside
     ``AttentionModel`` (``fusion_net.py:550-578``).
+
+    ``use_fused``: route through the Pallas fused attention kernel (scores
+    VMEM-resident); requires equal, 8-aligned query/key token counts.
     """
 
     dim: int
     num_heads: int
     qkv_bias: bool = True
     dropout: float = 0.0
+    use_fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -85,7 +89,22 @@ class MultiHeadAttention(nn.Module):
         q = proj("q", q_in)
         k = proj("k", k_in)
         v = proj("v", v_in)
-        out = scaled_dot_attention(q, k, v, scale)
+        fusable = (
+            self.use_fused
+            and q.shape[2] == k.shape[2]
+            and q.shape[2] % 8 == 0
+        )
+        if fusable:
+            from edrl_tpu.kernels.window_attention import window_attention_fused
+
+            b, h, n, d = q.shape
+            bias = jnp.zeros((1, h, n, n), jnp.float32)
+            interpret = jax.default_backend() == "cpu"
+            out = window_attention_fused(
+                (q * scale)[:, None], k[:, None], v[:, None], bias, interpret
+            )[:, 0]
+        else:
+            out = scaled_dot_attention(q, k, v, scale)
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
@@ -100,13 +119,18 @@ class SelfAttentionBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dropout: float = 0.0
+    use_fused_attention: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         h = nn.LayerNorm(dtype=self.dtype)(x)
         h = MultiHeadAttention(
-            self.dim, self.num_heads, dropout=self.dropout, dtype=self.dtype
+            self.dim,
+            self.num_heads,
+            dropout=self.dropout,
+            use_fused=self.use_fused_attention,
+            dtype=self.dtype,
         )(h, h, h, deterministic=deterministic)
         x = x + h
         h = nn.LayerNorm(dtype=self.dtype)(x)

@@ -95,6 +95,7 @@ class MedFusion(nn.Module):
             num_heads=cfg.vit3d_heads,
             dtype=dtype,
             remat=cfg.remat,
+            use_fused_attention=cfg.vit_fused_attention,
             name="transformer_3d",
         )(oct_vol, deterministic=not train)
 

@@ -41,6 +41,7 @@ class ViT3D(nn.Module):
     in_channels: int = 1
     dtype: Dtype = jnp.float32
     remat: bool = False
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True) -> Tuple[jax.Array, jax.Array]:
@@ -68,6 +69,7 @@ class ViT3D(nn.Module):
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 dropout=self.dropout,
+                use_fused_attention=self.use_fused_attention,
                 dtype=self.dtype,
             )(x, deterministic=deterministic)
 

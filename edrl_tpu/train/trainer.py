@@ -149,10 +149,20 @@ def make_train_step(
     kernel_mul = cfg.train.mmd_kernel_mul
     kernel_num = cfg.train.mmd_kernel_num
 
+    noise_cfg = cfg.data.noise
+
     def step_fn(state: TrainState, batch: Dict[str, jax.Array], base_key: jax.Array):
         key = jax.random.fold_in(base_key, state.step)
-        k_s1, k_d1, k_s2, k_d2 = jax.random.split(key, 4)
+        k_s1, k_d1, k_s2, k_d2, k_noise = jax.random.split(key, 5)
         y = batch["label"]
+        if "fundus" in batch:
+            # Device-side dual-view construction from the clean batch.
+            from edrl_tpu.data.device_noise import make_views_device
+
+            views = make_views_device(
+                batch["fundus"], batch["oct"], noise_cfg, k_noise
+            )
+            batch = {**views, "label": y}
 
         def loss_fn(params):
             out1, upd1 = model.apply(
@@ -207,10 +217,20 @@ def make_eval_step(model, cfg: EDRLConfig):
     exclusion); baselines get the absent modality's input zeroed.
     """
     native_mask = isinstance(model, MedFusion)
+    noise_cfg = cfg.data.noise
 
     def step_fn(state: TrainState, batch, modality_mask=None):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        fundus, oct_vol = batch["fundus_low"], batch["oct_low"]
+        if "fundus" in batch:
+            from edrl_tpu.data.device_noise import make_low_view_device
+
+            # Fixed key: eval noise is deterministic across runs (the
+            # reference replayed a frozen host seed — ledger #11 analog).
+            fundus, oct_vol = make_low_view_device(
+                batch["fundus"], batch["oct"], noise_cfg, jax.random.key(123)
+            )
+        else:
+            fundus, oct_vol = batch["fundus_low"], batch["oct_low"]
         kwargs = {}
         if modality_mask is not None:
             if native_mask:

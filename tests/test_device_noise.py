@@ -1,0 +1,103 @@
+"""Device-side noise view construction: distribution + pipeline integration."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edrl_tpu.config import NoiseConfig, tiny_test_config
+from edrl_tpu.data import BatchLoader, SyntheticGammaDataset
+from edrl_tpu.data.device_noise import make_low_view_device, make_views_device
+
+
+@pytest.fixture
+def clean(rng):
+    fundus = jnp.asarray(rng.uniform(size=(4, 16, 16, 3)).astype(np.float32))
+    oct_vol = jnp.asarray(rng.uniform(size=(4, 8, 8, 8, 1)).astype(np.float32))
+    return fundus, oct_vol
+
+
+class TestMakeViews:
+    def test_default_low_clean_high_noisy(self, clean):
+        fundus, oct_vol = clean
+        views = make_views_device(fundus, oct_vol, NoiseConfig(), jax.random.key(0))
+        np.testing.assert_array_equal(np.asarray(views["fundus_low"]), np.asarray(fundus))
+        assert not np.array_equal(np.asarray(views["fundus_high"]), np.asarray(fundus))
+        assert views["oct_high"].min() >= 0.0 and views["oct_high"].max() <= 1.0
+
+    def test_gaussian_sigma_honored(self, clean):
+        fundus, oct_vol = clean
+        cfg = NoiseConfig(gaussian_low=0.1, gaussian_high=0.5)
+        views = make_views_device(fundus, oct_vol, cfg, jax.random.key(0))
+        d_low = np.std(np.asarray(views["fundus_low"]) - np.asarray(fundus))
+        d_high = np.std(np.asarray(views["fundus_high"]) - np.asarray(fundus))
+        assert 0.0 < d_low < d_high  # clipping shrinks both below sigma
+
+    def test_salt_pepper_pixelwise(self, clean):
+        fundus, oct_vol = clean
+        cfg = NoiseConfig(condition_name="SaltPepper", salt_pepper_high=0.2)
+        views = make_views_device(fundus, oct_vol, cfg, jax.random.key(0))
+        f = np.asarray(views["fundus_high"])
+        salted = np.all(f == 1.0, axis=-1)  # whole-pixel corruption
+        assert salted.mean() == pytest.approx(0.2, abs=0.05)
+
+    def test_normal_condition_passthrough(self, clean):
+        fundus, oct_vol = clean
+        cfg = NoiseConfig(condition="normal")
+        views = make_views_device(fundus, oct_vol, cfg, jax.random.key(0))
+        np.testing.assert_array_equal(np.asarray(views["fundus_high"]), np.asarray(fundus))
+
+    def test_jittable_and_keyed(self, clean):
+        fundus, oct_vol = clean
+        f = jax.jit(lambda k: make_views_device(fundus, oct_vol, NoiseConfig(), k))
+        v1 = f(jax.random.key(0))
+        v2 = f(jax.random.key(1))
+        v1b = f(jax.random.key(0))
+        assert not np.array_equal(np.asarray(v1["fundus_high"]), np.asarray(v2["fundus_high"]))
+        np.testing.assert_array_equal(
+            np.asarray(v1["fundus_high"]), np.asarray(v1b["fundus_high"])
+        )
+
+    def test_low_view_eval_helper(self, clean):
+        fundus, oct_vol = clean
+        cfg = NoiseConfig(gaussian_low=0.3)
+        f1, o1 = make_low_view_device(fundus, oct_vol, cfg, jax.random.key(5))
+        f2, o2 = make_low_view_device(fundus, oct_vol, cfg, jax.random.key(5))
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+class TestPipelineIntegration:
+    def test_dataset_emits_clean_single_view(self):
+        cfg = tiny_test_config(batch_size=4)
+        data_cfg = dataclasses.replace(cfg.data, device_noise=True)
+        ds = SyntheticGammaDataset(data_cfg, mode="train")
+        s = ds.get(0, 0)
+        assert set(s) == {"fundus", "oct", "label"}
+
+    def test_loader_adds_oct_channel(self):
+        cfg = tiny_test_config(batch_size=4)
+        data_cfg = dataclasses.replace(cfg.data, device_noise=True)
+        ds = SyntheticGammaDataset(data_cfg, mode="val")
+        loader = BatchLoader(ds, 4, shuffle=False, num_workers=2)
+        b = next(iter(loader.epoch(0)))
+        assert b["oct"].ndim == 5 and b["oct"].shape[-1] == 1
+
+    def test_fit_runs_with_device_noise(self):
+        from edrl_tpu.train.trainer import fit
+
+        cfg = tiny_test_config(batch_size=4)
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, device_noise=True),
+            train=dataclasses.replace(cfg.train, end_epochs=1, log_dir=""),
+        )
+        train_loader = BatchLoader(
+            SyntheticGammaDataset(cfg.data, mode="train"), 4, num_workers=2
+        )
+        val_loader = BatchLoader(
+            SyntheticGammaDataset(cfg.data, mode="val"), 4, shuffle=False, num_workers=2
+        )
+        state, result = fit(cfg, train_loader, val_loader, verbose=False)
+        assert np.isfinite(result.train_history[0].loss)
+        assert np.isfinite(result.val_history[0].loss)
