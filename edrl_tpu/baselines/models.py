@@ -360,3 +360,82 @@ class MLCTrans(nn.Module):
         else:
             loss = jnp.asarray(0.0)
         return logits, loss, feat
+
+
+class FeatureExtractor2D(nn.Module):
+    """Standalone Res2Net feature-extractor wrappers
+    (``Medical_feature_2DNet`` / ``Medical_base_2DNet`` family,
+    ``baseline_models.py:8-120``).  ``output='map'`` returns the spatial
+    feature map, ``'pooled'`` the global vector, ``'logits'`` adds a head."""
+
+    classes: int = 2
+    output: str = "pooled"  # "map" | "pooled" | "logits"
+    base_width: int = 26
+    scales: int = 4
+    dropout: float = 0.0  # >0 reproduces the MC-dropout variant
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, fundus, oct_vol=None, y=None, *, train: bool = True, mc: bool = False):
+        fmap, pooled = Res2Net2D(
+            base_width=self.base_width, scales=self.scales, dtype=self.dtype,
+            name="backbone",
+        )(fundus, train=train)
+        if self.dropout > 0:
+            pooled = nn.Dropout(self.dropout)(pooled, deterministic=not (train or mc))
+        if self.output == "map":
+            return fmap
+        if self.output == "pooled":
+            return pooled
+        logits = _head(pooled, self.classes, "head")
+        loss = _ce(logits, y) if y is not None else jnp.asarray(0.0)
+        return logits, loss, pooled
+
+
+class FeatureExtractor3D(nn.Module):
+    """Standalone 3-D ResNet feature-extractor wrappers
+    (``Medical_base_3DNet`` / ``Medical_feature_3DNet`` family,
+    ``baseline_models.py:123-258``); ``blocks=(1,1,1,1)`` is the Med3D
+    ResNet-10 variant, ``(2,2,2,2)`` ResNet-18."""
+
+    classes: int = 2
+    output: str = "pooled"
+    blocks: Sequence[int] = (1, 1, 1, 1)
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, fundus=None, oct_vol=None, y=None, *, train: bool = True, mc: bool = False):
+        fmap, pooled = ResNet3D(blocks=self.blocks, dtype=self.dtype, name="backbone")(
+            oct_vol, train=train
+        )
+        if self.dropout > 0:
+            pooled = nn.Dropout(self.dropout)(pooled, deterministic=not (train or mc))
+        if self.output == "map":
+            return fmap
+        if self.output == "pooled":
+            return pooled
+        logits = _head(pooled, self.classes, "head")
+        loss = _ce(logits, y) if y is not None else jnp.asarray(0.0)
+        return logits, loss, pooled
+
+
+class MultiEnsemble3DResNet(nn.Module):
+    """Ensemble-member variant with a deeper 3-D backbone
+    (``Multi_ensemble_3D_ResNet``, ``baseline_models.py:1007-1068``): the
+    members differ structurally (3-D depth), not just by learning rate."""
+
+    classes: int = 2
+    blocks_3d: Sequence[int] = (1, 1, 1, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, fundus, oct_vol, y=None, *, train: bool = True):
+        _, pf = Res2Net2D(dtype=self.dtype, name="fundus_backbone")(fundus, train=train)
+        _, po = ResNet3D(blocks=self.blocks_3d, dtype=self.dtype, name="oct_backbone")(
+            oct_vol, train=train
+        )
+        feat = jnp.concatenate([pf, po], axis=1)
+        logits = _head(feat, self.classes, "head", hidden=256)
+        loss = _ce(logits, y) if y is not None else jnp.asarray(0.0)
+        return logits, loss, feat

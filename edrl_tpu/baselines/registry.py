@@ -60,6 +60,22 @@ MODEL_REGISTRY: Dict[str, Callable[[EDRLConfig], nn.Module]] = {
     "MLC_trans": lambda cfg: B.MLCTrans(
         classes=cfg.model.num_classes, img_size=cfg.data.fundus_size
     ),
+    "Medical_2DNet": lambda cfg: B.FeatureExtractor2D(
+        classes=cfg.model.num_classes, output="logits"
+    ),
+    "Medical_base_dropout_2DNet": lambda cfg: B.FeatureExtractor2D(
+        classes=cfg.model.num_classes, output="logits", dropout=0.3
+    ),
+    "Medical_3DNet": lambda cfg: B.FeatureExtractor3D(
+        classes=cfg.model.num_classes, output="logits"
+    ),
+    "Medical_base_dropout_3DNet": lambda cfg: B.FeatureExtractor3D(
+        classes=cfg.model.num_classes, output="logits", dropout=0.3
+    ),
+    "Multi_ensemble_ResNet": lambda cfg: B.MultiResNet(classes=cfg.model.num_classes),
+    "Multi_ensemble_3D_ResNet": lambda cfg: B.MultiEnsemble3DResNet(
+        classes=cfg.model.num_classes
+    ),
 }
 for name in ENSEMBLE_LRS:
     MODEL_REGISTRY[name] = lambda cfg: B.MultiResNet(classes=cfg.model.num_classes)

@@ -144,3 +144,96 @@ class GammaDataset:
                 views[key] = oct_train_augment(views[key], rng, self.cfg.hflip_prob)
         views["label"] = np.int32(np.argmax(one_hot))
         return views
+
+
+def center_crop(img: np.ndarray, size: int) -> np.ndarray:
+    """Center crop of an [H, W, C] image (pads if smaller)."""
+    h, w = img.shape[:2]
+    if h < size or w < size:
+        pad_h = max(size - h, 0)
+        pad_w = max(size - w, 0)
+        img = np.pad(
+            img,
+            ((pad_h // 2, pad_h - pad_h // 2), (pad_w // 2, pad_w - pad_w // 2), (0, 0)),
+        )
+        h, w = img.shape[:2]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return img[top : top + size, left : left + size]
+
+
+class GammaSub1Dataset:
+    """Legacy single-view GAMMA dataset (``GAMMA_sub1_dataset``,
+    ``code/data_harvard.py:50-167``): fundus ``{root}/{id}/{id}.png`` plus an
+    OCT slice-image directory ``{root}/{id}/{id}/``; 2000-px fundus scans get
+    the reference's fixed clip window; train transforms add CenterCrop(600) +
+    resize and per-channel normalization.  Returns ONE view (no noise pair):
+    ``{"fundus": [H,W,3], "oct": [D,H,W], "label": int}``.
+    """
+
+    # Reference normalization constants (``code/data_harvard.py:64-65``).
+    MEAN = np.array([0.3163843, 0.86174834, 0.3641431], dtype=np.float32)
+    STD = np.array([0.24608557, 0.11123227, 0.26710403], dtype=np.float32)
+
+    def __init__(self, cfg: DataConfig, mode: str = "train", filelists=None):
+        self.cfg = cfg
+        self.mode = mode.lower()
+        labels = load_labels(cfg.label_file)
+        ids = filelists if filelists is not None else sorted(os.listdir(cfg.data_path))
+        self.samples = []
+        for sid in ids:
+            name = os.path.basename(str(sid))
+            key = name.zfill(5) if name.isdigit() else name
+            if key in labels:
+                self.samples.append((name, labels[key]))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def get(self, index: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        from edrl_tpu.data.noise import sample_rng
+        from edrl_tpu.data.transforms import (
+            color_jitter,
+            to_grayscale,
+        )
+
+        sid, one_hot = self.samples[index]
+        root = self.cfg.data_path
+        fundus = _read_image(os.path.join(root, sid, f"{sid}.png"))
+        slice_dir = os.path.join(root, sid, sid)
+        slices = sorted(os.listdir(slice_dir))
+        from PIL import Image
+
+        stack = [
+            np.asarray(
+                Image.open(os.path.join(slice_dir, p)).convert("L"), dtype=np.float32
+            )
+            for p in slices
+        ]
+        oct_img = np.stack(stack)  # [D, H, W]
+
+        # Fixed clip window for 2000-px scans (``code/data_harvard.py:135``).
+        if fundus.shape[0] == 2000:
+            fundus = fundus[1000 - 967 : 1000 + 967, 1496 - 978 : 1496 + 978, :]
+
+        oct_img = resize_volume(oct_img, self.cfg.oct_size) / 255.0
+        fundus = fundus / 255.0
+        rng = sample_rng(self.cfg.seed, epoch, index)
+        if self.mode == "train":
+            if rng.random() < self.cfg.color_jitter_prob:
+                fundus = color_jitter(fundus, rng, *self.cfg.color_jitter_strength)
+            if rng.random() < self.cfg.grayscale_prob:
+                fundus = to_grayscale(fundus)
+            fundus = center_crop(fundus, 600)
+            fundus = np.clip(resize_image(fundus, self.cfg.fundus_size), 0.0, 1.0)
+            if rng.random() < self.cfg.hflip_prob:
+                fundus = fundus[:, ::-1].copy()
+            fundus = (fundus - self.MEAN) / self.STD
+        else:
+            # cv2 cubic resize can overshoot [0, 1]; clip back.
+            fundus = np.clip(resize_image(fundus, self.cfg.fundus_size), 0.0, 1.0)
+        return {
+            "fundus": fundus.astype(np.float32),
+            "oct": np.clip(oct_img, 0.0, 1.0).astype(np.float32),
+            "label": np.int32(np.argmax(one_hot)),
+        }

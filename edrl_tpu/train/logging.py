@@ -26,6 +26,28 @@ _HEADER = [
 ]
 
 
+def setup_logging(log_file: str):
+    """File + console logging (``log_args``, ``fusion_train.py:44-63`` —
+    defined but never wired in the reference; here it is actually usable)."""
+    import logging
+
+    logger = logging.getLogger("edrl_tpu")
+    logger.setLevel(logging.DEBUG)
+    formatter = logging.Formatter(
+        "%(asctime)s ===> %(message)s", datefmt="%Y-%m-%d %H:%M:%S"
+    )
+    os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
+    fh = logging.FileHandler(log_file)
+    fh.setLevel(logging.DEBUG)
+    fh.setFormatter(formatter)
+    ch = logging.StreamHandler()
+    ch.setLevel(logging.DEBUG)
+    ch.setFormatter(formatter)
+    logger.addHandler(fh)
+    logger.addHandler(ch)
+    return logger
+
+
 class AverageMeter:
     """Running scalar average (``fusion_train.py:137-153``)."""
 

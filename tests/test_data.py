@@ -225,3 +225,67 @@ class TestBatchLoader:
         l1 = np.concatenate([b["label"] for b in loader.epoch(0)])
         l2 = np.concatenate([b["label"] for b in loader.epoch(1)])
         assert not np.array_equal(l1, l2)
+
+
+class TestGammaSub1Dataset:
+    @pytest.fixture
+    def sub1_fixture(self, tmp_path, rng):
+        """Legacy layout: {root}/{id}/{id}.png + {root}/{id}/{id}/*.png slices."""
+        import pandas as pd
+        from PIL import Image
+
+        root = tmp_path / "sub1"
+        rows = []
+        for i in range(1, 3):
+            sid = str(i)
+            d = root / sid
+            (d / sid).mkdir(parents=True)
+            img = (rng.uniform(size=(64, 64, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(d / f"{sid}.png")
+            for s in range(4):
+                sl = (rng.uniform(size=(32, 32)) * 255).astype(np.uint8)
+                Image.fromarray(sl).save(d / sid / f"{s:03d}.png")
+            rows.append({"data": sid.zfill(5), "class_0": i % 2, "class_1": 1 - i % 2})
+        label_file = tmp_path / "labels.csv"
+        pd.DataFrame(rows).to_csv(label_file, index=False)
+        return str(root), str(label_file)
+
+    def test_load_shapes_and_normalization(self, sub1_fixture):
+        from edrl_tpu.data.gamma import GammaSub1Dataset
+
+        root, labels = sub1_fixture
+        cfg = DataConfig(
+            dataset="sub1", data_path=root, label_file=labels,
+            fundus_size=32, oct_size=(8, 16, 16),
+        )
+        ds = GammaSub1Dataset(cfg, mode="train")
+        assert len(ds) == 2
+        s = ds.get(0)
+        assert s["fundus"].shape == (32, 32, 3)
+        assert s["oct"].shape == (8, 16, 16)
+        # train path applies per-channel normalization -> values leave [0,1]
+        assert s["fundus"].min() < 0 or s["fundus"].max() > 1
+
+    def test_val_mode_no_normalization(self, sub1_fixture):
+        from edrl_tpu.data.gamma import GammaSub1Dataset
+
+        root, labels = sub1_fixture
+        cfg = DataConfig(
+            dataset="sub1", data_path=root, label_file=labels,
+            fundus_size=32, oct_size=(8, 16, 16),
+        )
+        ds = GammaSub1Dataset(cfg, mode="val")
+        s = ds.get(1)
+        assert 0.0 <= s["fundus"].min() and s["fundus"].max() <= 1.0
+
+
+class TestCenterCrop:
+    def test_crop_and_pad(self):
+        from edrl_tpu.data.gamma import center_crop
+
+        img = np.arange(8 * 8 * 3, dtype=np.float32).reshape(8, 8, 3)
+        out = center_crop(img, 4)
+        assert out.shape == (4, 4, 3)
+        np.testing.assert_array_equal(out, img[2:6, 2:6])
+        padded = center_crop(img, 12)
+        assert padded.shape == (12, 12, 3)
