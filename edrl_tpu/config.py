@@ -130,6 +130,10 @@ class TrainConfig:
     seed: int = 0
     mmd_kernel_mul: float = 2.0
     mmd_kernel_num: int = 5
+    # JS-divergence logit distillation between the two noise views — present
+    # but commented out in the reference (``fusion_train.py:203-207``); 0.0
+    # reproduces as-executed behavior.
+    js_distillation_weight: float = 0.0
     checkpoint_dir: str = "checkpoint"
     log_dir: str = "log"
     name: str = "checkpoint_0.3"  # reference --name

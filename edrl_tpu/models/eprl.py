@@ -69,6 +69,7 @@ class EPRL(nn.Module):
         y: Optional[jax.Array] = None,
         *,
         train: bool = True,
+        eps: Optional[jax.Array] = None,  # [C, S, z] override (tests/ablations)
     ):
         b, n, _ = x.shape
         c, s, z_dim = self.num_classes, self.sample_num, self.z_dim
@@ -91,11 +92,12 @@ class EPRL(nn.Module):
         sigma_proxy = nn.softplus(proxies[:, z_dim:])
 
         # --- sample proxy points, ``fusion_net.py:140-146`` ---
-        if train:
-            eps_key = self.make_rng("sample")
-        else:
-            eps_key = jax.random.key(self.eval_seed)
-        eps = jax.random.normal(eps_key, (c, s, z_dim), dtype=jnp.float32)
+        if eps is None:
+            if train:
+                eps_key = self.make_rng("sample")
+            else:
+                eps_key = jax.random.key(self.eval_seed)
+            eps = jax.random.normal(eps_key, (c, s, z_dim), dtype=jnp.float32)
         z_proxy = mu_proxy[:, None, :] + sigma_proxy[:, None, :] * eps  # [C, S, z]
 
         # --- cosine attention, token-mean: att[b,c,s] ---

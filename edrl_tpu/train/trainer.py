@@ -186,9 +186,18 @@ def make_train_step(
                 rngs={"sample": k_s2, "dropout": k_d2},
                 mutable=["batch_stats"],
             )
-            feat2 = _normalize_output(out2)[2]
+            norm2 = _normalize_output(out2)
+            feat2 = norm2[2]
             mmd = mk_mmd(feat1, feat2, kernel_mul=kernel_mul, kernel_num=kernel_num)
             loss = loss1 + mmd
+            if cfg.train.js_distillation_weight > 0.0:
+                from edrl_tpu.ops.distributions import js_divergence
+
+                js = js_divergence(
+                    jax.nn.softmax(logits, axis=-1),
+                    jax.nn.softmax(norm2[0], axis=-1),
+                )
+                loss = loss + cfg.train.js_distillation_weight * js
             return loss, (upd2["batch_stats"], logits, aux, mmd)
 
         (loss, (batch_stats, logits, aux, mmd)), grads = jax.value_and_grad(

@@ -133,3 +133,40 @@ class TestUncertaintySuiteOnEval:
         _, targets, probs = run_eval(state, eval_step, val_loader)
         suite = metrics_lib.compute_uncertainty_metrics(targets, probs)
         assert set(suite) >= {"accuracy", "auc", "ece", "nll", "brier", "kappa"}
+
+
+class TestJSDistillation:
+    def test_js_weight_changes_loss(self):
+        """js_distillation_weight > 0 must alter the training loss (the
+        reference's commented-out logit distillation, made configurable)."""
+        import dataclasses
+        import jax
+
+        from edrl_tpu.config import tiny_test_config
+        from edrl_tpu.data import BatchLoader, SyntheticGammaDataset
+        from edrl_tpu.train.trainer import (
+            init_state,
+            make_model,
+            make_optimizer,
+            make_train_step,
+        )
+
+        cfg0 = tiny_test_config(batch_size=4)
+        cfg1 = cfg0.replace(
+            train=dataclasses.replace(cfg0.train, js_distillation_weight=10.0)
+        )
+        _, state0 = init_state(cfg0, 0)
+        _, state1 = init_state(cfg1, 0)
+        loader = BatchLoader(
+            SyntheticGammaDataset(cfg0.data, mode="train"), 4, shuffle=False,
+            num_workers=2,
+        )
+        batch = jax.tree_util.tree_map(
+            jax.numpy.asarray, next(iter(loader.epoch(0)))
+        )
+        key = jax.numpy.asarray(jax.random.key(5))
+        s0 = make_train_step(make_model(cfg0), make_optimizer(cfg0), cfg0)
+        s1 = make_train_step(make_model(cfg1), make_optimizer(cfg1), cfg1)
+        _, out0 = s0(state0, batch, key)
+        _, out1 = s1(state1, batch, key)
+        assert float(out1["loss"]) != pytest.approx(float(out0["loss"]), rel=1e-9)
