@@ -131,23 +131,41 @@ def make_loaders(cfg: EDRLConfig):
         train_files, val_files = folds[cfg.data.fold]
         train_ds = GammaDataset(cfg.data, mode="train", filelists=list(train_files))
         val_ds = GammaDataset(cfg.data, mode="val", filelists=list(val_files))
+    u8 = cfg.data.device_noise and cfg.data.uint8_transport
     train_loader = BatchLoader(
-        train_ds, cfg.data.batch_size, shuffle=True, drop_last=True, seed=cfg.train.seed
+        train_ds,
+        cfg.data.batch_size,
+        shuffle=True,
+        drop_last=True,
+        seed=cfg.train.seed,
+        uint8_transport=u8,
     )
     val_loader = BatchLoader(
-        val_ds, cfg.data.eval_batch_size, shuffle=False, drop_last=True
+        val_ds,
+        cfg.data.eval_batch_size,
+        shuffle=False,
+        drop_last=True,
+        uint8_transport=u8,
     )
     return train_loader, val_loader
 
 
 def _enable_compile_cache():
+    import faulthandler
     import os
+    import signal
 
     import jax
 
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Debuggability on long runs: `kill -USR1 <pid>` dumps all thread stacks
+    # without killing the process (remote-TPU RPC hangs are otherwise opaque).
+    try:
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except (AttributeError, ValueError):  # non-POSIX or nested interpreter
+        pass
 
 
 def main(argv=None):

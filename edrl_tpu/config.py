@@ -66,6 +66,10 @@ class DataConfig:
     # host->device transfer, no host noise cost).  False = host path with
     # per-view augmentation draws (full reference parity).
     device_noise: bool = False
+    # Ship clean batches as uint8 and normalize on device (4x less
+    # host->device traffic; source images are 8-bit anyway).  Only applies
+    # with device_noise.
+    uint8_transport: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

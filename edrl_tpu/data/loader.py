@@ -42,7 +42,9 @@ def kfold_split(
     return out
 
 
-def _stack_batch(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+def _stack_batch(
+    samples: List[Dict[str, np.ndarray]], uint8_transport: bool = False
+) -> Dict[str, np.ndarray]:
     batch = {}
     for key in samples[0]:
         batch[key] = np.stack([s[key] for s in samples])
@@ -50,6 +52,14 @@ def _stack_batch(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     for key in ("oct_low", "oct_high", "oct"):
         if key in batch and batch[key].ndim == 4:
             batch[key] = batch[key][..., None]
+    if uint8_transport:
+        # Clean single-view batches quantize losslessly (8-bit sources);
+        # the device side divides by 255 (see trainer steps).
+        for key in ("fundus", "oct"):
+            if key in batch and batch[key].dtype == np.float32:
+                batch[key] = np.clip(
+                    np.rint(batch[key] * 255.0), 0, 255
+                ).astype(np.uint8)
     return batch
 
 
@@ -65,6 +75,7 @@ class BatchLoader:
         seed: int = 0,
         num_workers: int = 8,
         prefetch: int = 2,
+        uint8_transport: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -73,6 +84,7 @@ class BatchLoader:
         self.seed = seed
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.uint8_transport = uint8_transport
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -99,7 +111,7 @@ class BatchLoader:
                         samples = list(
                             pool.map(lambda i: self.dataset.get(int(i), epoch), idxs)
                         )
-                        q.put(_stack_batch(samples))
+                        q.put(_stack_batch(samples, self.uint8_transport))
                 q.put(None)
             except BaseException as exc:  # forward to the consumer
                 q.put(exc)

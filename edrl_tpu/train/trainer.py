@@ -61,6 +61,13 @@ def _normalize_output(out):
     return out
 
 
+def _dequantize(x: jax.Array) -> jax.Array:
+    """uint8-transported batches -> float32 in [0, 1] (no-op for floats)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
 def make_optimizer(cfg: EDRLConfig) -> optax.GradientTransformation:
     """Adam(lr, weight_decay) parity with ``fusion_train.py:747`` (torch Adam
     folds decay into the gradient before the moments — ``add_decayed_weights``
@@ -156,11 +163,13 @@ def make_train_step(
         k_s1, k_d1, k_s2, k_d2, k_noise = jax.random.split(key, 5)
         y = batch["label"]
         if "fundus" in batch:
-            # Device-side dual-view construction from the clean batch.
+            # Device-side dual-view construction from the clean batch
+            # (uint8 transport is dequantized here; dtype is trace-static).
             from edrl_tpu.data.device_noise import make_views_device
 
             views = make_views_device(
-                batch["fundus"], batch["oct"], noise_cfg, k_noise
+                _dequantize(batch["fundus"]), _dequantize(batch["oct"]),
+                noise_cfg, k_noise,
             )
             batch = {**views, "label": y}
 
@@ -236,7 +245,10 @@ def make_eval_step(model, cfg: EDRLConfig):
             # Fixed key: eval noise is deterministic across runs (the
             # reference replayed a frozen host seed — ledger #11 analog).
             fundus, oct_vol = make_low_view_device(
-                batch["fundus"], batch["oct"], noise_cfg, jax.random.key(123)
+                _dequantize(batch["fundus"]),
+                _dequantize(batch["oct"]),
+                noise_cfg,
+                jax.random.key(123),
             )
         else:
             fundus, oct_vol = batch["fundus_low"], batch["oct_low"]

@@ -101,3 +101,43 @@ class TestPipelineIntegration:
         state, result = fit(cfg, train_loader, val_loader, verbose=False)
         assert np.isfinite(result.train_history[0].loss)
         assert np.isfinite(result.val_history[0].loss)
+
+
+class TestUint8Transport:
+    def test_loader_emits_uint8(self):
+        cfg = tiny_test_config(batch_size=4)
+        data_cfg = dataclasses.replace(cfg.data, device_noise=True)
+        ds = SyntheticGammaDataset(data_cfg, mode="val")
+        loader = BatchLoader(ds, 4, shuffle=False, num_workers=2, uint8_transport=True)
+        b = next(iter(loader.epoch(0)))
+        assert b["fundus"].dtype == np.uint8
+        assert b["oct"].dtype == np.uint8
+
+    def test_dequantize_roundtrip(self):
+        from edrl_tpu.train.trainer import _dequantize
+
+        x = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        out = np.asarray(_dequantize(jnp.asarray(x)))
+        np.testing.assert_allclose(out, x.astype(np.float32) / 255.0, rtol=1e-6)
+        f = jnp.asarray(np.array([0.5], np.float32))
+        np.testing.assert_array_equal(np.asarray(_dequantize(f)), np.asarray(f))
+
+    def test_train_step_accepts_uint8_batch(self):
+        import jax as _jax
+
+        from edrl_tpu.train.trainer import (
+            init_state,
+            make_model,
+            make_optimizer,
+            make_train_step,
+        )
+
+        cfg = tiny_test_config(batch_size=4)
+        _, state = init_state(cfg, 0)
+        step = make_train_step(make_model(cfg), make_optimizer(cfg), cfg)
+        data_cfg = dataclasses.replace(cfg.data, device_noise=True)
+        ds = SyntheticGammaDataset(data_cfg, mode="train")
+        loader = BatchLoader(ds, 4, shuffle=False, num_workers=2, uint8_transport=True)
+        batch = jax.tree_util.tree_map(jnp.asarray, next(iter(loader.epoch(0))))
+        _, out = step(state, batch, _jax.random.key(0))
+        assert np.isfinite(float(out["loss"]))
