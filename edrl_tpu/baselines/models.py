@@ -23,7 +23,7 @@ Baselines covered (SURVEY.md section 2.4):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,6 @@ selection, device mesh shape).  Examples:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 import numpy as np
 

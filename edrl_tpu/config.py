@@ -17,7 +17,7 @@ field; defects in the reference knob surface are fixed here and noted:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

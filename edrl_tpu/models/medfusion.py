@@ -27,7 +27,7 @@ the guided features actually come from ``mu + rand_like * sigma``
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

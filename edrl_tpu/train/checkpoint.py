@@ -12,9 +12,8 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from edrl_tpu.train.trainer import TrainState
