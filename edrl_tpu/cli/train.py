@@ -109,14 +109,15 @@ def make_loaders(cfg: EDRLConfig):
     elif cfg.data.dataset == "glu2":
         # glu2 branch: sequential 80/20 split of the label-file id order
         # (``fusion_train.py:619-631``), not k-fold.
-        import pandas as pd
+        if cfg.data.label_file.endswith(".csv"):
+            import pandas as pd
 
-        df = (
-            pd.read_csv(cfg.data.label_file)
-            if cfg.data.label_file.endswith(".csv")
-            else pd.read_excel(cfg.data.label_file)
-        )
-        ids = [str(x).zfill(5) for x in df["data"].astype(str).values]
+            raw_ids = pd.read_csv(cfg.data.label_file)["data"].astype(str).values
+        else:
+            from edrl_tpu.data.xlsx import read_xlsx_dict
+
+            raw_ids = [str(x) for x in read_xlsx_dict(cfg.data.label_file)["data"]]
+        ids = [str(x).split(".")[0].zfill(5) for x in raw_ids]
         n_train = int(len(ids) * 0.8)
         train_ds = GammaDataset(cfg.data, mode="train", filelists=ids[:n_train])
         val_ds = GammaDataset(cfg.data, mode="val", filelists=ids[n_train:])
@@ -139,11 +140,14 @@ def make_loaders(cfg: EDRLConfig):
         seed=cfg.train.seed,
         uint8_transport=u8,
     )
+    # Eval keeps the remainder batch (the reference's drop_last val loader
+    # silently evaluated on nothing when the fold was smaller than the
+    # eval batch; here every sample is scored).
     val_loader = BatchLoader(
         val_ds,
-        cfg.data.eval_batch_size,
+        min(cfg.data.eval_batch_size, max(len(val_ds), 1)),
         shuffle=False,
-        drop_last=True,
+        drop_last=False,
         uint8_transport=u8,
     )
     return train_loader, val_loader

@@ -49,16 +49,30 @@ def _read_image(path: str) -> np.ndarray:
 
 
 def load_labels(label_file: str) -> Dict[str, np.ndarray]:
-    """id -> one-hot row, from xlsx (pandas) or csv."""
-    import pandas as pd
+    """id -> one-hot row, from xlsx or csv.
 
+    xlsx parsing is dependency-free (``edrl_tpu.data.xlsx``) — this
+    environment lacks openpyxl, so ``pd.read_excel`` is unavailable.
+    """
+    out: Dict[str, np.ndarray] = {}
     if label_file.endswith(".csv"):
+        import pandas as pd
+
         df = pd.read_csv(label_file)
-    else:
-        df = pd.read_excel(label_file)
-    out = {}
-    for _, row in df.iterrows():
-        out[str(row["data"]).zfill(5)] = row.values[1:].astype(np.float32)
+        for _, row in df.iterrows():
+            out[str(row["data"]).zfill(5)] = row.values[1:].astype(np.float32)
+        return out
+    from edrl_tpu.data.xlsx import read_xlsx_rows
+
+    rows = read_xlsx_rows(label_file)
+    for row in rows[1:]:
+        if not row or row[0] is None:
+            continue
+        sid = str(row[0]).split(".")[0]  # numeric cells may read as "123.0"
+        values = np.array(
+            [float(v) if v is not None else 0.0 for v in row[1:]], dtype=np.float32
+        )
+        out[sid.zfill(5)] = values
     return out
 
 

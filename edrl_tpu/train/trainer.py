@@ -295,6 +295,12 @@ def run_eval(
         targets.append(np.asarray(batch["label"]))
         probs.append(np.asarray(out["probs"]))
         loss_meter.update(float(out["loss"]))
+    if not targets:
+        # Empty loader (e.g. fold smaller than the batch with drop_last):
+        # surface NaN metrics instead of crashing.
+        nan = float("nan")
+        empty = metrics_lib.EpochMetrics(nan, nan, nan, nan, nan, nan, nan)
+        return empty, np.zeros((0,), np.int64), np.zeros((0, 2))
     targets = np.concatenate(targets)
     probs = np.concatenate(probs)
     return (

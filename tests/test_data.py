@@ -289,3 +289,43 @@ class TestCenterCrop:
         np.testing.assert_array_equal(out, img[2:6, 2:6])
         padded = center_crop(img, 12)
         assert padded.shape == (12, 12, 3)
+
+
+class TestXlsx:
+    def test_reads_reference_label_file(self):
+        """The dependency-free reader must parse the actual reference
+        ``train_true.xlsx`` (3000 rows, 4 one-hot class columns)."""
+        import os
+
+        path = "/root/reference/train_true.xlsx"
+        if not os.path.exists(path):
+            pytest.skip("reference file not mounted")
+        from edrl_tpu.data.gamma import load_labels
+
+        labels = load_labels(path)
+        assert len(labels) == 3000
+        assert all(v.shape == (4,) for v in labels.values())
+        assert all(v.sum() == 1.0 for v in labels.values())  # one-hot
+
+    def test_write_read_roundtrip(self, tmp_path):
+        from edrl_tpu.data.xlsx import read_xlsx_rows, write_xlsx
+
+        path = str(tmp_path / "labels.xlsx")
+        write_xlsx(
+            path,
+            ["data", "class_0", "class_1"],
+            [["00001", 1, 0], ["00002", 0, 1]],
+        )
+        rows = read_xlsx_rows(path)
+        assert rows[0] == ["data", "class_0", "class_1"]
+        assert rows[1] == ["00001", "1", "0"]
+
+    def test_load_labels_from_written_xlsx(self, tmp_path):
+        from edrl_tpu.data.gamma import load_labels
+        from edrl_tpu.data.xlsx import write_xlsx
+
+        path = str(tmp_path / "labels.xlsx")
+        write_xlsx(path, ["data", "class_0", "class_1"], [["7", 0, 1]])
+        labels = load_labels(path)
+        assert "00007" in labels
+        np.testing.assert_array_equal(labels["00007"], [0.0, 1.0])
