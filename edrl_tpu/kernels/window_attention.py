@@ -172,3 +172,171 @@ def window_attention_reference(q, k, v, bias):
         "bwhnm,bwhmd->bwhnd", p, v.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# v2: transpose-free layout.
+#
+# Device traces showed ~24% of the train step in layout copies, dominated by
+# the [B,W,N,3,H,D] transposes feeding the v1 kernel.  v2 reads q/k/v
+# DIRECTLY from the qkv Dense output [B, W, N, 3C] via three column-block
+# index maps (columns [hD:(h+1)D], [C+hD:...], [2C+hD:...]) and writes the
+# output in [B, W, N, C] layout — the attention path has zero transposes.
+# ---------------------------------------------------------------------------
+
+
+def _attn_fwd_kernel_v2(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # [N, D]
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    bias = bias_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + bias
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) / l
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel_v2(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref, dbias_ref, *, scale
+):
+    b_idx = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    bias = bias_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + bias
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / l
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - delta)
+
+    dv = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # q here already carries the scale factor
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(b_idx == 0)
+    def _():
+        dbias_ref[0, 0] = ds
+
+    @pl.when(b_idx != 0)
+    def _():
+        dbias_ref[0, 0] = dbias_ref[0, 0] + ds
+
+
+def _v2_specs(n, d, c, part):
+    """Column-block spec into [B, W, N, 3C]: part 0/1/2 selects q/k/v."""
+    h_blocks = c // d  # number of heads
+
+    def index_map(h, w, b, part=part, h_blocks=h_blocks):
+        return (b, w, 0, part * h_blocks + h)
+
+    return pl.BlockSpec((1, 1, n, d), index_map, memory_space=pltpu.VMEM)
+
+
+def _v2_out_spec(n, d):
+    return pl.BlockSpec(
+        (1, 1, n, d), lambda h, w, b: (b, w, 0, h), memory_space=pltpu.VMEM
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def window_attention_fused_v2(
+    qkv: jax.Array,
+    bias: jax.Array,
+    num_heads: int,
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(q k^T * scale + bias) v from packed qkv, transpose-free.
+
+    qkv: ``[B, W, N, 3C]`` (the qkv Dense output, columns ordered
+    [q heads | k heads | v heads]); bias ``[W, H, N, N]`` f32.
+    Returns ``[B, W, N, C]``.
+    """
+    return _v2_fwd_call(qkv, bias, num_heads, scale, interpret)
+
+
+def _v2_fwd_call(qkv, bias, num_heads, scale, interpret):
+    B, W, N, C3 = qkv.shape
+    c = C3 // 3
+    d = c // num_heads
+    kernel = functools.partial(_attn_fwd_kernel_v2, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(num_heads, W, B),
+        in_specs=[
+            _v2_specs(N, d, c, 0),
+            _v2_specs(N, d, c, 1),
+            _v2_specs(N, d, c, 2),
+            _bias_spec(N),
+        ],
+        out_specs=_v2_out_spec(N, d),
+        out_shape=jax.ShapeDtypeStruct((B, W, N, c), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv, bias)
+
+
+def _v2_fwd(qkv, bias, num_heads, scale, interpret):
+    o = _v2_fwd_call(qkv, bias, num_heads, scale, interpret)
+    return o, (qkv, bias)
+
+
+def _v2_bwd(num_heads, scale, interpret, res, do):
+    qkv, bias = res
+    B, W, N, C3 = qkv.shape
+    c = C3 // 3
+    d = c // num_heads
+    kernel = functools.partial(_attn_bwd_kernel_v2, scale=scale)
+    dq, dk, dv, dbias = pl.pallas_call(
+        kernel,
+        grid=(num_heads, W, B),
+        in_specs=[
+            _v2_specs(N, d, c, 0),
+            _v2_specs(N, d, c, 1),
+            _v2_specs(N, d, c, 2),
+            _bias_spec(N),
+            _v2_out_spec(N, d),
+        ],
+        out_specs=(
+            _v2_out_spec(N, d),
+            _v2_out_spec(N, d),
+            _v2_out_spec(N, d),
+            _bias_spec(N),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, W, N, c), qkv.dtype),
+            jax.ShapeDtypeStruct((B, W, N, c), qkv.dtype),
+            jax.ShapeDtypeStruct((B, W, N, c), qkv.dtype),
+            jax.ShapeDtypeStruct(bias.shape, jnp.float32),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, bias, do)
+    return jnp.concatenate([dq, dk, dv], axis=-1), dbias
+
+
+window_attention_fused_v2.defvjp(_v2_fwd, _v2_bwd)

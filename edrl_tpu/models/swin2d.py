@@ -103,21 +103,23 @@ class WindowAttention(nn.Module):
         bias = bias.transpose(2, 0, 1)  # [heads, n, n]
 
         if self.use_fused:
-            from edrl_tpu.kernels.window_attention import window_attention_fused
+            from edrl_tpu.kernels.window_attention import window_attention_fused_v2
 
             nw = self.num_windows
             b = bnw // nw
-            qkv = qkv.reshape(b, nw, n, 3, self.num_heads, head_dim)
-            qkv = qkv.transpose(3, 0, 1, 4, 2, 5)  # [3, B, W, H, N, D]
-            q, k, v = qkv[0], qkv[1], qkv[2]
+            # Transpose-free: the kernel reads per-head q/k/v column blocks
+            # straight out of the Dense output layout.
+            qkv = qkv.reshape(b, nw, n, 3 * self.dim)
             full_bias = jnp.broadcast_to(
                 bias[None].astype(jnp.float32), (nw, self.num_heads, n, n)
             )
             if mask is not None:
                 full_bias = full_bias + jnp.asarray(mask)[:, None, :, :]
             interpret = jax.default_backend() == "cpu"
-            out = window_attention_fused(q * scale, k, v, full_bias, interpret)
-            out = out.transpose(0, 1, 3, 2, 4).reshape(bnw, n, self.dim)
+            out = window_attention_fused_v2(
+                qkv, full_bias, self.num_heads, scale, interpret
+            )
+            out = out.reshape(bnw, n, self.dim)
         else:
             qkv = qkv.reshape(bnw, n, 3, self.num_heads, head_dim)
             q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))

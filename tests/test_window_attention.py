@@ -87,3 +87,51 @@ class TestBackward:
             for i in range(B)
         )
         np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_sum), atol=1e-4)
+
+
+class TestV2TransposeFree:
+    def _pack(self, q, k, v, scale):
+        """[B,W,H,N,D] triple -> packed [B,W,N,3C] with [3,H,D] column order."""
+        B, W, H, N, D = q.shape
+
+        def flat(x):
+            return x.transpose(0, 1, 3, 2, 4).reshape(B, W, N, H * D)
+
+        return np.concatenate([flat(q / scale), flat(k), flat(v)], axis=-1)
+
+    def test_matches_reference(self, inputs):
+        from edrl_tpu.kernels.window_attention import window_attention_fused_v2
+
+        q, k, v, bias = inputs
+        B, W, H, N, D = q.shape
+        scale = 0.7
+        qkv = jnp.asarray(self._pack(np.asarray(q), np.asarray(k), np.asarray(v), 1.0))
+        got = window_attention_fused_v2(qkv, bias, H, scale, True)
+        want = window_attention_reference(q * scale, k, v, bias)
+        want = np.asarray(want).transpose(0, 1, 3, 2, 4).reshape(B, W, N, H * D)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_grads_match_reference(self, inputs):
+        from edrl_tpu.kernels.window_attention import window_attention_fused_v2
+
+        q, k, v, bias = inputs
+        B, W, H, N, D = q.shape
+        scale = 0.5
+        qkv = jnp.asarray(self._pack(np.asarray(q), np.asarray(k), np.asarray(v), 1.0))
+
+        def loss_v2(qkv, bias):
+            return jnp.sum(jnp.square(window_attention_fused_v2(qkv, bias, H, scale, True)))
+
+        def loss_ref(qkv, bias):
+            c = H * D
+            def unflat(x):
+                return x.reshape(B, W, N, H, D).transpose(0, 1, 3, 2, 4)
+            qq = unflat(qkv[..., :c]) * scale
+            kk = unflat(qkv[..., c : 2 * c])
+            vv = unflat(qkv[..., 2 * c :])
+            return jnp.sum(jnp.square(window_attention_reference(qq, kk, vv, bias)))
+
+        g2 = jax.grad(loss_v2, argnums=(0, 1))(qkv, bias)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+        np.testing.assert_allclose(np.asarray(g2[0]), np.asarray(gr[0]), atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(gr[1]), atol=2e-4, rtol=1e-3)
