@@ -155,6 +155,16 @@ def make_train_step(
 
     kernel_mul = cfg.train.mmd_kernel_mul
     kernel_num = cfg.train.mmd_kernel_num
+    if cfg.train.use_pallas_mmd:
+        from edrl_tpu.kernels.mmd_pallas import mk_mmd_pallas
+
+        def mmd_fn(a, b):
+            return mk_mmd_pallas(
+                a, b, kernel_mul, kernel_num, jax.default_backend() == "cpu"
+            )
+    else:
+        def mmd_fn(a, b):
+            return mk_mmd(a, b, kernel_mul=kernel_mul, kernel_num=kernel_num)
 
     noise_cfg = cfg.data.noise
 
@@ -197,7 +207,7 @@ def make_train_step(
             )
             norm2 = _normalize_output(out2)
             feat2 = norm2[2]
-            mmd = mk_mmd(feat1, feat2, kernel_mul=kernel_mul, kernel_num=kernel_num)
+            mmd = mmd_fn(feat1, feat2)
             loss = loss1 + mmd
             if cfg.train.js_distillation_weight > 0.0:
                 from edrl_tpu.ops.distributions import js_divergence

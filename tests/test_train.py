@@ -170,3 +170,39 @@ class TestJSDistillation:
         _, out0 = s0(state0, batch, key)
         _, out1 = s1(state1, batch, key)
         assert float(out1["loss"]) != pytest.approx(float(out0["loss"]), rel=1e-9)
+
+
+class TestPallasMMDInTrainStep:
+    def test_pallas_mmd_path_runs(self):
+        """use_pallas_mmd routes the self-distillation loss through the fused
+        kernel (interpret mode on CPU) and matches the XLA path."""
+        import dataclasses
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from edrl_tpu.config import tiny_test_config
+        from edrl_tpu.data import BatchLoader, SyntheticGammaDataset
+        from edrl_tpu.train.trainer import (
+            init_state,
+            make_model,
+            make_optimizer,
+            make_train_step,
+        )
+
+        cfg0 = tiny_test_config(batch_size=4)
+        cfg1 = cfg0.replace(
+            train=dataclasses.replace(cfg0.train, use_pallas_mmd=True)
+        )
+        _, state0 = init_state(cfg0, 0)
+        _, state1 = init_state(cfg1, 0)
+        loader = BatchLoader(
+            SyntheticGammaDataset(cfg0.data, mode="train"), 4, shuffle=False,
+            num_workers=2,
+        )
+        batch = _jax.tree_util.tree_map(_jnp.asarray, next(iter(loader.epoch(0))))
+        key = _jax.random.key(5)
+        s0 = make_train_step(make_model(cfg0), make_optimizer(cfg0), cfg0)
+        s1 = make_train_step(make_model(cfg1), make_optimizer(cfg1), cfg1)
+        _, out0 = s0(state0, batch, key)
+        _, out1 = s1(state1, batch, key)
+        assert float(out1["mmd"]) == pytest.approx(float(out0["mmd"]), rel=1e-3)
