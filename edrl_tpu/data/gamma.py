@@ -101,11 +101,20 @@ class GammaDataset:
         return len(self.samples)
 
     def _load_raw(self, sid: str):
+        """Decoded + resized sample, memoized to disk as UNCOMPRESSED uint8
+        (zlib decompression of float32 caches cost ~30ms/sample; uint8 raw
+        reads are ~1ms and lossless for 8-bit sources)."""
         root = self.cfg.data_path
-        cache_path = os.path.join(root, sid, f"_edrl_cache_{self.cfg.fundus_size}.npz")
+        as_uint8 = self.cfg.device_noise and self.cfg.uint8_transport
+        cache_path = os.path.join(root, sid, f"_edrl_cache8_{self.cfg.fundus_size}.npz")
         if self.cache and os.path.exists(cache_path):
             z = np.load(cache_path)
-            return z["fundus"], z["oct"]
+            if as_uint8:
+                return z["fundus"], z["oct"]
+            return (
+                z["fundus"].astype(np.float32) / 255.0,
+                z["oct"].astype(np.float32) / 255.0,
+            )
         fundus = _read_image(os.path.join(root, sid, f"data_{sid}_fundus.png"))
         nii = os.path.join(root, sid, f"data_{sid}.nii")
         if not os.path.exists(nii):
@@ -116,11 +125,15 @@ class GammaDataset:
         vol = resize_volume(vol, self.cfg.oct_size) / 255.0
         fundus = np.clip(fundus, 0.0, 1.0).astype(np.float32)
         vol = np.clip(vol, 0.0, 1.0).astype(np.float32)
+        fundus_u8 = np.rint(fundus * 255.0).astype(np.uint8)
+        vol_u8 = np.rint(vol * 255.0).astype(np.uint8)
         if self.cache:
             try:
-                np.savez_compressed(cache_path, fundus=fundus, oct=vol)
+                np.savez(cache_path, fundus=fundus_u8, oct=vol_u8)
             except OSError:
                 pass
+        if as_uint8:
+            return fundus_u8, vol_u8
         return fundus, vol
 
     def get(self, index: int, epoch: int = 0) -> Dict[str, np.ndarray]:
@@ -128,16 +141,7 @@ class GammaDataset:
         fundus, vol = self._load_raw(sid)
         rng = sample_rng(self.cfg.seed, epoch, index)
         if self.cfg.device_noise:
-            if self.mode == "train":
-                fundus = fundus_train_augment(
-                    fundus,
-                    rng,
-                    jitter_prob=self.cfg.color_jitter_prob,
-                    grayscale_prob=self.cfg.grayscale_prob,
-                    hflip_prob=self.cfg.hflip_prob,
-                    jitter_strength=self.cfg.color_jitter_strength,
-                )
-                vol = oct_train_augment(vol, rng, self.cfg.hflip_prob)
+            # Augmentation + noise happen on-device in the jitted step.
             return {
                 "fundus": fundus,
                 "oct": vol,

@@ -167,20 +167,34 @@ def make_train_step(
             return mk_mmd(a, b, kernel_mul=kernel_mul, kernel_num=kernel_num)
 
     noise_cfg = cfg.data.noise
+    data_cfg = cfg.data
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array], base_key: jax.Array):
         key = jax.random.fold_in(base_key, state.step)
         k_s1, k_d1, k_s2, k_d2, k_noise = jax.random.split(key, 5)
         y = batch["label"]
         if "fundus" in batch:
-            # Device-side dual-view construction from the clean batch
-            # (uint8 transport is dequantized here; dtype is trace-static).
+            # Device-side augmentation + dual-view construction from the
+            # clean batch (uint8 transport dequantized; dtype trace-static).
+            from edrl_tpu.data.device_augment import (
+                augment_fundus_batch,
+                augment_oct_batch,
+            )
             from edrl_tpu.data.device_noise import make_views_device
 
-            views = make_views_device(
-                _dequantize(batch["fundus"]), _dequantize(batch["oct"]),
-                noise_cfg, k_noise,
+            k_aug_f, k_aug_o, k_noise = jax.random.split(k_noise, 3)
+            fundus = augment_fundus_batch(
+                _dequantize(batch["fundus"]),
+                k_aug_f,
+                jitter_prob=data_cfg.color_jitter_prob,
+                jitter_strength=data_cfg.color_jitter_strength,
+                grayscale_prob=data_cfg.grayscale_prob,
+                hflip_prob=data_cfg.hflip_prob,
             )
+            oct_vol = augment_oct_batch(
+                _dequantize(batch["oct"]), k_aug_o, data_cfg.hflip_prob
+            )
+            views = make_views_device(fundus, oct_vol, noise_cfg, k_noise)
             batch = {**views, "label": y}
 
         def loss_fn(params):

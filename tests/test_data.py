@@ -194,7 +194,11 @@ class TestGammaDataset:
             f.startswith("_edrl_cache") for f in os.listdir(os.path.join(root, ds.samples[1][0]))
         )
         s2 = ds.get(1)
-        np.testing.assert_array_equal(s1["fundus_low"], s2["fundus_low"])
+        # The disk cache stores uint8 (lossless for the 8-bit sources but the
+        # cubic-resized intermediate floats quantize to 1/255 granularity).
+        np.testing.assert_allclose(
+            s1["fundus_low"], s2["fundus_low"], atol=0.5 / 255
+        )
 
 
 class TestBatchLoader:

@@ -141,3 +141,52 @@ class TestUint8Transport:
         batch = jax.tree_util.tree_map(jnp.asarray, next(iter(loader.epoch(0))))
         _, out = step(state, batch, _jax.random.key(0))
         assert np.isfinite(float(out["loss"]))
+
+
+class TestDeviceAugment:
+    def test_fundus_augment_shapes_and_range(self, rng):
+        from edrl_tpu.data.device_augment import augment_fundus_batch
+
+        x = jnp.asarray(rng.uniform(size=(4, 16, 16, 3)).astype(np.float32))
+        out = augment_fundus_batch(x, jax.random.key(0))
+        assert out.shape == x.shape
+        assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+    def test_no_jitter_prob_zero_identity_up_to_flip(self, rng):
+        from edrl_tpu.data.device_augment import augment_fundus_batch
+
+        x = jnp.asarray(rng.uniform(size=(4, 8, 8, 3)).astype(np.float32))
+        out = augment_fundus_batch(
+            x, jax.random.key(0), jitter_prob=0.0, grayscale_prob=0.0, hflip_prob=0.0
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+    def test_hue_round_trip_preserves_value_channel(self, rng):
+        """Hue rotation must not change per-pixel max (HSV value)."""
+        from edrl_tpu.data.device_augment import augment_fundus_batch
+
+        x = jnp.asarray(rng.uniform(size=(2, 8, 8, 3)).astype(np.float32))
+        out = augment_fundus_batch(
+            x, jax.random.key(1),
+            jitter_prob=1.0, jitter_strength=(0.0, 0.0, 0.0, 0.1),
+            grayscale_prob=0.0, hflip_prob=0.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out).max(-1), np.asarray(x).max(-1), atol=1e-4
+        )
+
+    def test_per_sample_randomness(self, rng):
+        from edrl_tpu.data.device_augment import augment_fundus_batch
+
+        x = jnp.asarray(np.tile(rng.uniform(size=(1, 8, 8, 3)), (8, 1, 1, 1)).astype(np.float32))
+        out = np.asarray(augment_fundus_batch(x, jax.random.key(2), jitter_prob=1.0))
+        # identical inputs must receive different augmentations across batch
+        diffs = [np.abs(out[i] - out[0]).max() for i in range(1, 8)]
+        assert max(diffs) > 1e-3
+
+    def test_oct_flip(self, rng):
+        from edrl_tpu.data.device_augment import augment_oct_batch
+
+        x = jnp.asarray(rng.uniform(size=(8, 4, 4, 4, 1)).astype(np.float32))
+        out = np.asarray(augment_oct_batch(x, jax.random.key(0), hflip_prob=1.0))
+        np.testing.assert_allclose(out, np.asarray(x)[:, :, :, ::-1, :], atol=1e-6)
