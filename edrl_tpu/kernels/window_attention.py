@@ -185,83 +185,99 @@ def window_attention_reference(q, k, v, bias):
 # ---------------------------------------------------------------------------
 
 
-def _attn_fwd_kernel_v2(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # [N, D]
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+def _attn_fwd_kernel_v2(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, bb):
     bias = bias_ref[0, 0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) + bias
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) / l
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    # Static unroll over the batch block: amortizes per-program overhead
+    # (stage-0 has B*nW programs otherwise) while each dot stays a clean
+    # [N, D] x [D, N] MXU matmul.
+    for i in range(bb):
+        q = q_ref[i, 0].astype(jnp.float32) * scale  # [N, D]
+        k = k_ref[i, 0].astype(jnp.float32)
+        v = v_ref[i, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) / l
+        o_ref[i, 0] = o.astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel_v2(
-    q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref, dbias_ref, *, scale
+    q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref, dbias_ref,
+    *, scale, bb
 ):
     b_idx = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
     bias = bias_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    ds_sum = None
+    for i in range(bb):
+        q = q_ref[i, 0].astype(jnp.float32) * scale
+        k = k_ref[i, 0].astype(jnp.float32)
+        v = v_ref[i, 0].astype(jnp.float32)
+        do = do_ref[i, 0].astype(jnp.float32)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) + bias
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / l
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / l
 
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - delta)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - delta)
 
-    dv = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dq = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # q here already carries the scale factor
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+        dv = jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # q here already carries the scale factor
+        dq_ref[i, 0] = dq.astype(dq_ref.dtype)
+        dk_ref[i, 0] = dk.astype(dk_ref.dtype)
+        dv_ref[i, 0] = dv.astype(dv_ref.dtype)
+        ds_sum = ds if ds_sum is None else ds_sum + ds
 
     @pl.when(b_idx == 0)
     def _():
-        dbias_ref[0, 0] = ds
+        dbias_ref[0, 0] = ds_sum
 
     @pl.when(b_idx != 0)
     def _():
-        dbias_ref[0, 0] = dbias_ref[0, 0] + ds
+        dbias_ref[0, 0] = dbias_ref[0, 0] + ds_sum
 
 
-def _v2_specs(n, d, c, part):
+def _v2_specs(n, d, c, part, bb):
     """Column-block spec into [B, W, N, 3C]: part 0/1/2 selects q/k/v."""
     h_blocks = c // d  # number of heads
 
     def index_map(h, w, b, part=part, h_blocks=h_blocks):
         return (b, w, 0, part * h_blocks + h)
 
-    return pl.BlockSpec((1, 1, n, d), index_map, memory_space=pltpu.VMEM)
+    return pl.BlockSpec((bb, 1, n, d), index_map, memory_space=pltpu.VMEM)
 
 
-def _v2_out_spec(n, d):
+def _v2_out_spec(n, d, bb):
     return pl.BlockSpec(
-        (1, 1, n, d), lambda h, w, b: (b, w, 0, h), memory_space=pltpu.VMEM
+        (bb, 1, n, d), lambda h, w, b: (b, w, 0, h), memory_space=pltpu.VMEM
     )
+
+
+def _batch_block(b):
+    """Largest batch block <= 8 dividing B (1 disables blocking)."""
+    for bb in (8, 4, 2):
+        if b % bb == 0:
+            return bb
+    return 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -285,17 +301,18 @@ def _v2_fwd_call(qkv, bias, num_heads, scale, interpret):
     B, W, N, C3 = qkv.shape
     c = C3 // 3
     d = c // num_heads
-    kernel = functools.partial(_attn_fwd_kernel_v2, scale=scale)
+    bb = _batch_block(B)
+    kernel = functools.partial(_attn_fwd_kernel_v2, scale=scale, bb=bb)
     return pl.pallas_call(
         kernel,
-        grid=(num_heads, W, B),
+        grid=(num_heads, W, B // bb),
         in_specs=[
-            _v2_specs(N, d, c, 0),
-            _v2_specs(N, d, c, 1),
-            _v2_specs(N, d, c, 2),
+            _v2_specs(N, d, c, 0, bb),
+            _v2_specs(N, d, c, 1, bb),
+            _v2_specs(N, d, c, 2, bb),
             _bias_spec(N),
         ],
-        out_specs=_v2_out_spec(N, d),
+        out_specs=_v2_out_spec(N, d, bb),
         out_shape=jax.ShapeDtypeStruct((B, W, N, c), qkv.dtype),
         interpret=interpret,
     )(qkv, qkv, qkv, bias)
@@ -311,21 +328,22 @@ def _v2_bwd(num_heads, scale, interpret, res, do):
     B, W, N, C3 = qkv.shape
     c = C3 // 3
     d = c // num_heads
-    kernel = functools.partial(_attn_bwd_kernel_v2, scale=scale)
+    bb = _batch_block(B)
+    kernel = functools.partial(_attn_bwd_kernel_v2, scale=scale, bb=bb)
     dq, dk, dv, dbias = pl.pallas_call(
         kernel,
-        grid=(num_heads, W, B),
+        grid=(num_heads, W, B // bb),
         in_specs=[
-            _v2_specs(N, d, c, 0),
-            _v2_specs(N, d, c, 1),
-            _v2_specs(N, d, c, 2),
+            _v2_specs(N, d, c, 0, bb),
+            _v2_specs(N, d, c, 1, bb),
+            _v2_specs(N, d, c, 2, bb),
             _bias_spec(N),
-            _v2_out_spec(N, d),
+            _v2_out_spec(N, d, bb),
         ],
         out_specs=(
-            _v2_out_spec(N, d),
-            _v2_out_spec(N, d),
-            _v2_out_spec(N, d),
+            _v2_out_spec(N, d, bb),
+            _v2_out_spec(N, d, bb),
+            _v2_out_spec(N, d, bb),
             _bias_spec(N),
         ),
         out_shape=(
