@@ -133,3 +133,48 @@ class TestParamShardings:
             fundus, oct_vol, y, train=False,
         )
         assert np.all(np.isfinite(np.asarray(logits)))
+
+
+class TestTensorParallelTrainStep:
+    def test_tp_sharded_step_matches_replicated(self):
+        """A full train step with TP-sharded params (model=2) must produce
+        the same loss and updated params as the replicated run."""
+        import dataclasses
+
+        from edrl_tpu.data import BatchLoader, SyntheticGammaDataset
+        from edrl_tpu.train.trainer import (
+            init_state,
+            make_model,
+            make_optimizer,
+            make_train_step,
+        )
+
+        cfg = tiny_test_config(batch_size=8)
+        data_cfg = dataclasses.replace(cfg.data, device_noise=True)
+        loader = BatchLoader(
+            SyntheticGammaDataset(data_cfg, mode="train"), 8, shuffle=False,
+            num_workers=2, uint8_transport=True,
+        )
+        batch = next(iter(loader.epoch(0)))
+        key = jax.random.key(3)
+        step = make_train_step(make_model(cfg), make_optimizer(cfg), cfg)
+
+        _, state_a = init_state(cfg, 0)
+        sa, out_a = step(state_a, jax.tree_util.tree_map(jnp.asarray, batch), key)
+
+        mesh2 = make_mesh(num_data=4, num_model=2)
+        _, state_b = init_state(cfg, 0)
+        shardings = infer_param_shardings(state_b.params, mesh2)
+        params = jax.tree_util.tree_map(jax.device_put, state_b.params, shardings)
+        state_b = state_b.replace(
+            params=params,
+            batch_stats=jax.device_put(state_b.batch_stats, replicated(mesh2)),
+            opt_state=jax.device_put(state_b.opt_state, replicated(mesh2)),
+        )
+        sharded_batch = shard_batch(batch, mesh2)
+        sb, out_b = step(state_b, sharded_batch, key)
+
+        assert float(out_b["loss"]) == pytest.approx(float(out_a["loss"]), rel=2e-3)
+        la = jax.tree_util.tree_leaves(sa.params)[0]
+        lb = jax.tree_util.tree_leaves(sb.params)[0]
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=3e-5)
