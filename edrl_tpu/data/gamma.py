@@ -92,10 +92,20 @@ class GammaDataset:
         self.samples: List = []
         for sid in ids:
             name = os.path.basename(str(sid))
-            if name.isdigit() and name.zfill(5) in labels:
-                self.samples.append((name, labels[name.zfill(5)]))
-            elif name in labels:
-                self.samples.append((name, labels[name]))
+            key = name.zfill(5) if name.isdigit() else name
+            if key not in labels and name not in labels:
+                continue
+            one_hot = labels.get(key, labels.get(name))
+            # Resolve the on-disk directory: ids may be zero-padded in the
+            # label file but unpadded on disk (or vice versa).
+            candidates = [name]
+            if name.isdigit():
+                candidates += [name.zfill(5), str(int(name))]
+            dir_name = next(
+                (c for c in candidates if os.path.isdir(os.path.join(cfg.data_path, c))),
+                name,
+            )
+            self.samples.append((dir_name, one_hot))
 
     def __len__(self) -> int:
         return len(self.samples)
