@@ -14,6 +14,7 @@ from edrl_tpu.parallel.mesh import (
     replicated,
     infer_param_shardings,
     shard_batch,
+    sharded_byte_fraction,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "replicated",
     "infer_param_shardings",
     "shard_batch",
+    "sharded_byte_fraction",
 ]

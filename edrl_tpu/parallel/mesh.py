@@ -90,3 +90,23 @@ def infer_param_shardings(params: Any, mesh: Mesh) -> Any:
         path_str = "/".join(str(getattr(k, "key", k)) for k in path)
         out.append(spec_for(path_str, leaf))
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def sharded_byte_fraction(params: Any, shardings: Any) -> float:
+    """Fraction of parameter bytes actually sharded (non-replicated spec).
+
+    Quantifies what the TP rules cover so a "(data=N, model=M)" mesh claim
+    can be stated as a measured number rather than asserted.
+    """
+    leaves = jax.tree_util.tree_leaves(params)
+    specs = jax.tree_util.tree_leaves(
+        shardings, is_leaf=lambda x: isinstance(x, NamedSharding)
+    )
+    total = 0
+    sharded = 0
+    for leaf, sh in zip(leaves, specs):
+        nbytes = leaf.size * leaf.dtype.itemsize
+        total += nbytes
+        if any(axis is not None for axis in tuple(sh.spec)):
+            sharded += nbytes
+    return sharded / max(total, 1)

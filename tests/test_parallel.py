@@ -178,3 +178,46 @@ class TestTensorParallelTrainStep:
         la = jax.tree_util.tree_leaves(sa.params)[0]
         lb = jax.tree_util.tree_leaves(sb.params)[0]
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=3e-5)
+
+
+class TestDriverContract:
+    """The driver imports ``__graft_entry__`` and calls ``dryrun_multichip(8)``
+    directly under whatever platform the shell presets (round 1 failed with
+    the 1-device axon TPU, MULTICHIP_r01.json).  Reproduce that shape
+    hermetically: a parent process with a 1-device CPU platform must succeed
+    by re-execing an 8-device child."""
+
+    def test_dryrun_multichip_self_provisions_devices(self):
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import __graft_entry__ as g; g.dryrun_multichip(8)",
+            ],
+            env=env,
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        assert "dryrun_multichip OK" in proc.stdout
+
+    def test_sharded_byte_fraction(self):
+        from edrl_tpu.parallel import sharded_byte_fraction
+
+        mesh2 = make_mesh(num_data=4, num_model=2)
+        params = {
+            "Mlp_0": {"Dense_0": {"kernel": jnp.zeros((8, 16))}},
+            "head": {"kernel": jnp.zeros((8, 16))},
+        }
+        shardings = infer_param_shardings(params, mesh2)
+        assert sharded_byte_fraction(params, shardings) == pytest.approx(0.5)
