@@ -96,8 +96,57 @@ def bench_train_step(batch_size: int = 16, steps: int = 20, remat: bool = False)
     return batch_size * steps / dt
 
 
+def bench_infer_step(batch_size: int = 16, steps: int = 20):
+    """Inference throughput: low-view forward only (the ``val()``/``test()``
+    path, parity ``fusion_train.py:277,469-470``), scanned on-device like
+    the train bench so the number is device time."""
+    from edrl_tpu.config import DataConfig, EDRLConfig, ModelConfig, TrainConfig
+    from edrl_tpu.train.trainer import init_state, make_eval_step, make_model
+
+    cfg = EDRLConfig(
+        data=DataConfig(batch_size=batch_size),
+        model=ModelConfig(use_bfloat16=True),
+        train=TrainConfig(),
+    )
+    model, state = init_state(cfg, 0)
+    eval_step = make_eval_step(model, cfg)
+    rng = np.random.default_rng(0)
+    d = cfg.data
+    batch = {
+        "fundus_low": jnp.asarray(
+            rng.uniform(size=(batch_size, d.fundus_size, d.fundus_size, 3)).astype(
+                np.float32
+            )
+        ),
+        "oct_low": jnp.asarray(
+            rng.uniform(size=(batch_size, *d.oct_size, 1)).astype(np.float32)
+        ),
+        "label": jnp.asarray(rng.integers(0, 2, size=batch_size).astype(np.int32)),
+    }
+
+    @jax.jit
+    def run_steps(state, batch):
+        def body(acc, _):
+            # Feed the carry back into the input (negligible numerically) so
+            # iterations are data-dependent — otherwise XLA hoists the whole
+            # loop-invariant forward out of the scan and the timing is fake.
+            fundus = batch["fundus_low"] + acc * jnp.float32(1e-24)
+            out = eval_step(state, {**batch, "fundus_low": fundus})
+            return out["probs"].mean().astype(jnp.float32), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=steps)
+        return acc
+
+    float(run_steps(state, batch))  # warmup / compile
+    t0 = time.perf_counter()
+    float(run_steps(state, batch))
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
+
+
 def main():
     pairs_per_sec = bench_train_step()
+    infer_pairs_per_sec = bench_infer_step()
     print(
         json.dumps(
             {
@@ -105,6 +154,7 @@ def main():
                 "value": round(pairs_per_sec, 3),
                 "unit": "pairs/sec/chip",
                 "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+                "infer_pairs_per_sec_chip": round(infer_pairs_per_sec, 3),
             }
         )
     )

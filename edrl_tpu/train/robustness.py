@@ -52,19 +52,25 @@ def noise_sweep(
     modalities = list(modalities or MODALITY_GRID)
     results: Dict[str, Dict[float, dict]] = {m: {} for m in modalities}
     for sigma in sigmas:
+        # Keep the remainder batch: dropping it loses up to eval_batch_size-1
+        # samples per grid cell on small folds (same class of bug as the
+        # reference's drop_last val loaders, fixed for the main eval path in
+        # cli/train.py — the sweep must evaluate every sample too).
         loader = BatchLoader(
             _dataset_for(cfg, sigma),
             cfg.data.eval_batch_size,
             shuffle=False,
-            drop_last=True,
+            drop_last=False,
             num_workers=4,
         )
         for modality in modalities:
             mask = MODALITY_GRID[modality]
-            m, _, _ = run_eval(
+            m, targets, _ = run_eval(
                 state, eval_step, loader, modality_mask=mask, mesh=mesh
             )
-            results[modality][sigma] = m.as_dict()
+            cell = m.as_dict()
+            cell["num_samples"] = int(targets.shape[0])
+            results[modality][sigma] = cell
     return results
 
 

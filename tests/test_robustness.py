@@ -19,3 +19,24 @@ def test_noise_sweep_grid_runs():
             assert np.isfinite(m["loss"])
     table = format_sweep(results)
     assert "modality" in table and "oct-only" in table
+
+
+def test_noise_sweep_evaluates_every_sample():
+    """Regression: the sweep loaders must keep the remainder batch — with
+    drop_last it silently lost up to eval_batch_size-1 samples per grid
+    cell on small folds (VERDICT round 1, weak #4)."""
+    import dataclasses
+
+    cfg = tiny_test_config(batch_size=4)
+    # Dataset length NOT a multiple of the eval batch size.
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, num_synthetic_samples=11,
+                                      eval_batch_size=4)
+    )
+    from edrl_tpu.data import SyntheticGammaDataset
+
+    n_val = len(SyntheticGammaDataset(cfg.data, mode="val"))
+    assert n_val % cfg.data.eval_batch_size != 0, "fixture must have remainder"
+    _, state = init_state(cfg, 0)
+    results = noise_sweep(cfg, state, sigmas=(0.0,), modalities=["both"])
+    assert results["both"][0.0]["num_samples"] == n_val
