@@ -105,7 +105,10 @@ class ModelConfig:
     swin_embed_dim: int = 128
     swin_window: int = 12
     vit3d_depth: int = 12
-    vit3d_heads: int = 12
+    # TPU-first head count: head_dim 768/6 = 128 = one MXU tile per program
+    # (ViT-Base uses 12 heads / head_dim 64, which half-fills the MXU lanes);
+    # the token/dim contract [B, 216, 768] is unchanged.
+    vit3d_heads: int = 6
     vit3d_patch: int = 16
     # Compute precision: bf16 activations/matmuls with f32 params & reductions.
     use_bfloat16: bool = True
@@ -116,10 +119,12 @@ class ModelConfig:
     remat_attention: bool = True
     # Fused Pallas window attention: scores stay VMEM-resident, custom VJP.
     use_fused_attention: bool = True
-    # Same kernel on the 3-D ViT self-attention — measured slightly slower at
-    # head_dim 64 (one 216-token window per program underfills the MXU), so
-    # off by default; revisit with window blocking.
-    vit_fused_attention: bool = False
+    # Fused self-attention on the 3-D ViT trunk (transpose-free v3 kernel).
+    # With the head_dim-128 layout above each program's matmuls fill the MXU.
+    vit_fused_attention: bool = True
+    # Fused Pallas MLP (hidden VMEM-resident) on both backbones: the step is
+    # HBM-bound, so skipping the [M, 4C] hidden round-trips is the win.
+    use_fused_mlp: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,6 +139,11 @@ class TrainConfig:
     seed: int = 0
     mmd_kernel_mul: float = 2.0
     mmd_kernel_num: int = 5
+    # Ablation knob: weight on the MK-MMD self-distillation term.  0 skips
+    # the high-noise-view forward entirely (the term is the only consumer of
+    # it, ``fusion_train.py:194``), halving step FLOPs — used by the hard
+    # synthetic ablation study to measure what the distillation buys.
+    mmd_weight: float = 1.0
     # JS-divergence logit distillation between the two noise views — present
     # but commented out in the reference (``fusion_train.py:203-207``); 0.0
     # reproduces as-executed behavior.
@@ -199,8 +209,10 @@ def tiny_test_config(batch_size: int = 4) -> EDRLConfig:
         proxy_topk=8,
         num_heads=4,
         use_bfloat16=False,
-        # Interpret-mode Pallas is slow on CPU; the kernel has its own tests.
+        # Interpret-mode Pallas is slow on CPU; the kernels have their own tests.
         use_fused_attention=False,
+        vit_fused_attention=False,
+        use_fused_mlp=False,
         remat_attention=False,
     )
     train = TrainConfig(lr=1e-3, end_epochs=2)

@@ -1,0 +1,286 @@
+"""Fused transformer MLP (Dense -> GELU -> Dense) as a Pallas TPU kernel.
+
+Why: the step is HBM-bound (measured 859 GB/s achievable, XLA per-op
+fusions already at roofline), so the remaining wins are *eliminated
+round-trips*.  XLA materializes the ``[M, H]`` hidden activation between the
+two matmuls in forward AND the ``[M, H]`` dgelu tensor in backward — at
+batch 16 that is ~300 MB per Swin stage-0 block instance.  This kernel keeps
+the hidden in VMEM: forward reads ``u`` and writes ``y`` only; backward
+recomputes the hidden (MXU FLOPs are free below the bandwidth roofline) and
+writes only ``du`` + the weight grads.
+
+Layout / blocking:
+- ``u [M, C]`` (the LN output, token-major), ``w1 [C, H]``, ``w2 [H, C]``
+  as raw float32 params (cast to bf16 in-kernel for the MXU; their
+  cotangents are then f32, matching optimizer expectations).
+- forward grid ``(M/BM, H/BH)`` with the hidden axis innermost: the f32
+  ``y`` accumulator lives in VMEM scratch across the H sweep.
+- backward grid ``(H/BH, M/BM)`` with tokens innermost: ``dw1/dw2/db`` are
+  resident output blocks accumulated across the token sweep (constant index
+  map — the same pattern as the window-attention ``dbias``); ``du`` is
+  written as per-H-block partials summed outside (cheap: ``H/BH <= 8``).
+
+GELU is the tanh approximation (``jax.nn.gelu(approximate=True)``) matching
+``flax.linen.gelu``; its derivative is closed-form in-kernel.
+
+Reference analog: the torch ``nn.Sequential(Linear, GELU, Linear)`` blocks
+inside every transformer module (e.g. ``fusion_net.py`` MLPs); this is the
+TPU-native execution of the same math.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT_2_OVER_PI = 0.7978845608028654
+_GELU_C = 0.044715
+
+
+def _gelu(x):
+    inner = _SQRT_2_OVER_PI * (x + _GELU_C * x * x * x)
+    return 0.5 * x * (1.0 + jnp.tanh(inner))
+
+
+def _gelu_grad(x):
+    x2 = x * x
+    inner = _SQRT_2_OVER_PI * (x + _GELU_C * x * x2)
+    t = jnp.tanh(inner)
+    sech2 = 1.0 - t * t
+    return 0.5 * (1.0 + t) + 0.5 * x * sech2 * _SQRT_2_OVER_PI * (
+        1.0 + 3.0 * _GELU_C * x2
+    )
+
+
+def _pick_block(total: int, target: int) -> int:
+    """Largest divisor of ``total`` that is <= target (multiples preferred)."""
+    b = min(total, target)
+    while total % b != 0:
+        b -= 1
+    return b
+
+
+def _hidden_block(c: int, h: int, budget_bytes: int = 2_500_000) -> int:
+    bh = h
+    while c * bh * 4 > budget_bytes and bh % 2 == 0:
+        bh //= 2
+    return bh
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+
+def _fwd_kernel(u_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref, acc_ref):
+    h_idx = pl.program_id(1)
+    n_h = pl.num_programs(1)
+    u = u_ref[...]  # [BM, C] bf16
+    w1 = w1_ref[...].astype(jnp.bfloat16)  # [C, BH]
+    w2 = w2_ref[...].astype(jnp.bfloat16)  # [BH, C]
+    b1 = b1_ref[...].astype(jnp.float32)  # [1, BH]
+
+    hidden = (
+        jax.lax.dot_general(
+            u, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        + b1
+    )
+    a = _gelu(hidden).astype(jnp.bfloat16)
+    part = jax.lax.dot_general(
+        a, w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(h_idx == 0)
+    def _():
+        acc_ref[...] = part + b2_ref[...].astype(jnp.float32)
+
+    @pl.when(h_idx != 0)
+    def _():
+        acc_ref[...] = acc_ref[...] + part
+
+    @pl.when(h_idx == n_h - 1)
+    def _():
+        y_ref[...] = acc_ref[...].astype(y_ref.dtype)
+
+
+def _fwd_call(u, w1, b1, w2, b2, interpret):
+    m, c = u.shape
+    h = w1.shape[1]
+    bm = _pick_block(m, 512)
+    bh = _hidden_block(c, h)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(m // bm, h // bh),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, bh), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh, c), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, c), u.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, c), jnp.float32)],
+        interpret=interpret,
+    )(u, w1, b1.reshape(1, h), w2, b2.reshape(1, c))
+
+
+# --------------------------------------------------------------------------
+# backward
+# --------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    u_ref, dy_ref, w1_ref, b1_ref, w2_ref,
+    du_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+):
+    m_idx = pl.program_id(1)
+    h_idx = pl.program_id(0)
+    u = u_ref[...]  # [BM, C] bf16
+    dy = dy_ref[...].astype(jnp.float32)  # [BM, C]
+    w1 = w1_ref[...].astype(jnp.bfloat16)  # [C, BH]
+    w2 = w2_ref[...]  # [BH, C] f32
+    b1 = b1_ref[...].astype(jnp.float32)
+
+    hidden = (
+        jax.lax.dot_general(
+            u, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        + b1
+    )
+    a = _gelu(hidden)
+    da = jax.lax.dot_general(
+        dy.astype(jnp.bfloat16),
+        w2.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BM, BH]
+    dh = da * _gelu_grad(hidden)
+
+    dh_b = dh.astype(jnp.bfloat16)
+    dw1 = jax.lax.dot_general(
+        u, dh_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [C, BH]
+    dw2 = jax.lax.dot_general(
+        a.astype(jnp.bfloat16),
+        dy.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BH, C]
+    du = jax.lax.dot_general(
+        dh_b, w1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BM, C]
+    du_ref[0] = du.astype(du_ref.dtype)
+
+    @pl.when(m_idx == 0)
+    def _():
+        dw1_ref[...] = dw1
+        dw2_ref[...] = dw2
+        db1_ref[...] = jnp.sum(dh, axis=0, keepdims=True)
+
+    @pl.when(m_idx != 0)
+    def _():
+        dw1_ref[...] = dw1_ref[...] + dw1
+        dw2_ref[...] = dw2_ref[...] + dw2
+        db1_ref[...] = db1_ref[...] + jnp.sum(dh, axis=0, keepdims=True)
+
+    @pl.when((h_idx == 0) & (m_idx == 0))
+    def _():
+        db2_ref[...] = jnp.sum(dy, axis=0, keepdims=True)
+
+    @pl.when((h_idx == 0) & (m_idx != 0))
+    def _():
+        db2_ref[...] = db2_ref[...] + jnp.sum(dy, axis=0, keepdims=True)
+
+
+def _bwd_call(u, dy, w1, b1, w2, interpret):
+    m, c = u.shape
+    h = w1.shape[1]
+    bm = _pick_block(m, 256)
+    bh = _hidden_block(c, h)
+    n_h = h // bh
+    du_part, dw1, db1, dw2, db2 = pl.pallas_call(
+        _bwd_kernel,
+        grid=(n_h, m // bm),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, bh), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh, c), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, bm, c), lambda j, i: (j, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((c, bh), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh, c), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_h, m, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ),
+        interpret=interpret,
+    )(u, dy, w1, b1.reshape(1, h), w2)
+    du = jnp.sum(du_part, axis=0).astype(u.dtype)
+    return du, dw1, db1.reshape(h), dw2, db2.reshape(c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_mlp(u, w1, b1, w2, b2, interpret: bool = False):
+    """``gelu(u @ w1 + b1) @ w2 + b2`` with the hidden VMEM-resident.
+
+    u: ``[M, C]`` bf16/f32 tokens; w1 ``[C, H]``, b1 ``[H]``, w2 ``[H, C]``,
+    b2 ``[C]`` float32 params.  Returns ``[M, C]`` in u's dtype.
+    """
+    return _fwd_call(u, w1, b1, w2, b2, interpret)
+
+
+def _vjp_fwd(u, w1, b1, w2, b2, interpret):
+    y = _fwd_call(u, w1, b1, w2, b2, interpret)
+    return y, (u, w1, b1, w2)
+
+
+def _vjp_bwd(interpret, res, dy):
+    u, w1, b1, w2 = res
+    du, dw1, db1, dw2, db2 = _bwd_call(u, dy, w1, b1, w2, interpret)
+    return du, dw1, db1, dw2, db2
+
+
+fused_mlp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def mlp_reference(u, w1, b1, w2, b2):
+    """XLA reference with identical dtype semantics for testing."""
+    hidden = (
+        jax.lax.dot_general(
+            u.astype(jnp.bfloat16),
+            w1.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b1
+    )
+    a = _gelu(hidden).astype(jnp.bfloat16)
+    y = (
+        jax.lax.dot_general(
+            a,
+            w2.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b2
+    )
+    return y.astype(u.dtype)

@@ -358,3 +358,131 @@ def _v2_bwd(num_heads, scale, interpret, res, do):
 
 
 window_attention_fused_v2.defvjp(_v2_fwd, _v2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v3: generic fused self-attention, transpose-free, bias-free.
+#
+# For the 3-D ViT trunk (216 tokens) and other plain self-attentions: reads
+# per-head column blocks straight out of the q/k/v Dense outputs
+# ``[B, N, C]`` (no head-split transposes anywhere) and writes ``[B, N, C]``.
+# No relative-position bias -> no bias add in the forward and no dbias
+# accumulation in the backward.  Pair with head_dim 128 so every program's
+# matmuls fill the MXU (the TPU-first head layout, same decision as the Swin
+# ``(1,2,4,8)`` head split).
+# ---------------------------------------------------------------------------
+
+
+def _sa_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, bb):
+    for i in range(bb):
+        q = q_ref[i].astype(jnp.float32) * scale  # [N, D]
+        k = k_ref[i].astype(jnp.float32)
+        v = v_ref[i].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) / l
+        o_ref[i] = o.astype(o_ref.dtype)
+
+
+def _sa_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale, bb):
+    for i in range(bb):
+        q = q_ref[i].astype(jnp.float32) * scale
+        k = k_ref[i].astype(jnp.float32)
+        v = v_ref[i].astype(jnp.float32)
+        do = do_ref[i].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / l
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+
+        dv = jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # q already carries the scale factor
+        dq_ref[i] = dq.astype(dq_ref.dtype)
+        dk_ref[i] = dk.astype(dk_ref.dtype)
+        dv_ref[i] = dv.astype(dv_ref.dtype)
+
+
+def _sa_spec(n, d, bb):
+    """Per-head column block into [B, N, C]."""
+    return pl.BlockSpec((bb, n, d), lambda h, b: (b, 0, h), memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def self_attention_fused(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(q k^T * scale) v per head, transpose-free.
+
+    q, k, v: ``[B, N, C]`` with heads packed along the channel axis (the raw
+    Dense projection outputs).  N must be a multiple of 8.  Returns
+    ``[B, N, C]`` in q's dtype.
+    """
+    return _sa_fwd_call(q, k, v, num_heads, scale, interpret)
+
+
+def _sa_fwd_call(q, k, v, num_heads, scale, interpret):
+    B, N, C = q.shape
+    d = C // num_heads
+    bb = _batch_block(B)
+    kernel = functools.partial(_sa_fwd_kernel, scale=scale, bb=bb)
+    return pl.pallas_call(
+        kernel,
+        grid=(num_heads, B // bb),
+        in_specs=[_sa_spec(N, d, bb)] * 3,
+        out_specs=_sa_spec(N, d, bb),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _sa_fwd(q, k, v, num_heads, scale, interpret):
+    o = _sa_fwd_call(q, k, v, num_heads, scale, interpret)
+    return o, (q, k, v)
+
+
+def _sa_bwd(num_heads, scale, interpret, res, do):
+    q, k, v = res
+    B, N, C = q.shape
+    d = C // num_heads
+    bb = _batch_block(B)
+    kernel = functools.partial(_sa_bwd_kernel, scale=scale, bb=bb)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(num_heads, B // bb),
+        in_specs=[_sa_spec(N, d, bb)] * 4,
+        out_specs=(_sa_spec(N, d, bb),) * 3,
+        out_shape=(jax.ShapeDtypeStruct((B, N, C), q.dtype),) * 3,
+        interpret=interpret,
+    )(q, k, v, do)
+    return dq, dk, dv
+
+
+self_attention_fused.defvjp(_sa_fwd, _sa_bwd)

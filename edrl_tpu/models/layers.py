@@ -21,16 +21,49 @@ Dtype = Any
 
 
 class Mlp(nn.Module):
-    """Transformer MLP block: Linear -> act -> drop -> Linear -> drop."""
+    """Transformer MLP block: Linear -> act -> drop -> Linear -> drop.
+
+    ``use_fused`` routes through the Pallas fused-MLP kernel (hidden
+    activation VMEM-resident — the step is HBM-bound, so skipping the
+    ``[M, H]`` round-trips is the win).  Requires gelu, no dropout, and
+    ``out_dim == in_dim``; falls back to the XLA path otherwise.  The fused
+    path owns its params (``w1/b1/w2/b2``) with the same initializers as
+    ``nn.Dense``.
+    """
 
     hidden_dim: int
     out_dim: int
     dropout: float = 0.0
     act: Callable = nn.gelu
     dtype: Dtype = jnp.float32
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        fusable = (
+            self.use_fused
+            and self.dropout == 0.0
+            and self.act is nn.gelu
+            and x.shape[-1] == self.out_dim
+            and x.shape[-1] % 128 == 0
+            and self.hidden_dim % 128 == 0
+        )
+        if fusable:
+            from edrl_tpu.kernels.fused_mlp import fused_mlp
+
+            c = x.shape[-1]
+            w1 = self.param(
+                "w1", nn.initializers.lecun_normal(), (c, self.hidden_dim)
+            )
+            b1 = self.param("b1", nn.initializers.zeros, (self.hidden_dim,))
+            w2 = self.param(
+                "w2", nn.initializers.lecun_normal(), (self.hidden_dim, c)
+            )
+            b2 = self.param("b2", nn.initializers.zeros, (c,))
+            tokens = x.astype(self.dtype).reshape(-1, c)
+            interpret = jax.default_backend() == "cpu"
+            y = fused_mlp(tokens, w1, b1, w2, b2, interpret)
+            return y.reshape(x.shape)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
         x = self.act(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -82,31 +115,35 @@ class MultiHeadAttention(nn.Module):
         scale = head_dim**-0.5
 
         def proj(name, x):
-            y = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name=name)(x)
-            b, n = y.shape[0], y.shape[1]
-            return y.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            return nn.Dense(
+                self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name=name
+            )(x)
 
-        q = proj("q", q_in)
+        q = proj("q", q_in)  # [B, Nq, C], heads packed in columns
         k = proj("k", k_in)
         v = proj("v", v_in)
         fusable = (
             self.use_fused
-            and q.shape[2] == k.shape[2]
-            and q.shape[2] % 8 == 0
+            and q.shape[1] == k.shape[1]
+            and q.shape[1] % 8 == 0
         )
         if fusable:
-            from edrl_tpu.kernels.window_attention import window_attention_fused
+            # Transpose-free: the v3 kernel reads per-head column blocks
+            # straight out of the Dense outputs and writes [B, N, C].
+            from edrl_tpu.kernels.window_attention import self_attention_fused
 
-            b, h, n, d = q.shape
-            bias = jnp.zeros((1, h, n, n), jnp.float32)
             interpret = jax.default_backend() == "cpu"
-            out = window_attention_fused(
-                (q * scale)[:, None], k[:, None], v[:, None], bias, interpret
-            )[:, 0]
+            out = self_attention_fused(q, k, v, self.num_heads, scale, interpret)
         else:
-            out = scaled_dot_attention(q, k, v, scale)
-        b, _, n, _ = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+            def split(y):
+                b, n = y.shape[0], y.shape[1]
+                return y.reshape(b, n, self.num_heads, head_dim).transpose(
+                    0, 2, 1, 3
+                )
+
+            out = scaled_dot_attention(split(q), split(k), split(v), scale)
+            b, _, n, _ = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out
@@ -120,6 +157,7 @@ class SelfAttentionBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.0
     use_fused_attention: bool = False
+    use_fused_mlp: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -139,5 +177,6 @@ class SelfAttentionBlock(nn.Module):
             self.dim,
             dropout=self.dropout,
             dtype=self.dtype,
+            use_fused=self.use_fused_mlp,
         )(h, deterministic=deterministic)
         return x + h

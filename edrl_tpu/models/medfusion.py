@@ -85,6 +85,7 @@ class MedFusion(nn.Module):
             remat=cfg.remat,
             remat_attention=cfg.remat_attention,
             use_fused_attention=cfg.use_fused_attention,
+            use_fused_mlp=cfg.use_fused_mlp,
             name="transformer_2d",
         )(fundus, deterministic=not train)
         tokens_o, _ = ViT3D(
@@ -96,6 +97,7 @@ class MedFusion(nn.Module):
             dtype=dtype,
             remat=cfg.remat,
             use_fused_attention=cfg.vit_fused_attention,
+            use_fused_mlp=cfg.use_fused_mlp,
             name="transformer_3d",
         )(oct_vol, deterministic=not train)
 

@@ -61,34 +61,48 @@ def _shift_attn_mask(grid: int, window: int, shift: int) -> np.ndarray:
 
 
 def window_partition(x: jax.Array, window: int) -> jax.Array:
-    """[B, H, W, C] -> [B * nW, window*window, C]."""
+    """[B, H, W, C] -> [B, nW, window*window, C].
+
+    Persistent windowed layout: tokens stay in this layout across a whole
+    stage (LayerNorm/MLP/residuals are per-token, so only shifted blocks ever
+    leave it).  The fused attention kernel consumes it directly.
+    """
     b, h, w, c = x.shape
     x = x.reshape(b, h // window, window, w // window, window, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(-1, window * window, c)
+    return x.reshape(b, (h // window) * (w // window), window * window, c)
 
 
 def window_merge(x: jax.Array, window: int, h: int, w: int) -> jax.Array:
-    """[B * nW, window*window, C] -> [B, H, W, C]."""
-    c = x.shape[-1]
-    b = x.shape[0] // ((h // window) * (w // window))
+    """[B, nW, window*window, C] -> [B, H, W, C]."""
+    b, c = x.shape[0], x.shape[-1]
     x = x.reshape(b, h // window, w // window, window, window, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(b, h, w, c)
+
+
+def _shift_windows(xw: jax.Array, window: int, grid: int, shift: int) -> jax.Array:
+    """Re-window [B, nW, N, C] after rolling the implied feature map by
+    ``shift`` (negative = the Swin forward shift).  merge -> roll ->
+    partition is a single token permutation; XLA fuses the chain into one
+    copy, vs. the two separate partition/merge transposes of the per-block
+    layout."""
+    x = window_merge(xw, window, grid, grid)
+    x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+    return window_partition(x, window)
 
 
 class WindowAttention(nn.Module):
     dim: int
     window: int
     num_heads: int
-    num_windows: int = 1
     use_fused: bool = False  # Pallas fused kernel (VMEM-resident scores)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray] = None):
-        """x: [B*nW, w*w, C]; mask: [nW, w*w, w*w] additive or None."""
-        bnw, n, c = x.shape
+        """x: [B, nW, w*w, C]; mask: [nW, w*w, w*w] additive or None."""
+        b, nw, n, c = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
@@ -105,11 +119,8 @@ class WindowAttention(nn.Module):
         if self.use_fused:
             from edrl_tpu.kernels.window_attention import window_attention_fused_v2
 
-            nw = self.num_windows
-            b = bnw // nw
             # Transpose-free: the kernel reads per-head q/k/v column blocks
-            # straight out of the Dense output layout.
-            qkv = qkv.reshape(b, nw, n, 3 * self.dim)
+            # straight out of the Dense output layout [B, nW, N, 3C].
             full_bias = jnp.broadcast_to(
                 bias[None].astype(jnp.float32), (nw, self.num_heads, n, n)
             )
@@ -119,23 +130,17 @@ class WindowAttention(nn.Module):
             out = window_attention_fused_v2(
                 qkv, full_bias, self.num_heads, scale, interpret
             )
-            out = out.reshape(bnw, n, self.dim)
         else:
-            qkv = qkv.reshape(bnw, n, 3, self.num_heads, head_dim)
-            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-            bias = bias[None]  # [1, heads, n, n]
+            qkv = qkv.reshape(b, nw, n, 3, self.num_heads, head_dim)
+            q, k, v = (
+                qkv[..., i, :, :].transpose(0, 1, 3, 2, 4) for i in range(3)
+            )  # each [B, nW, heads, n, d]
+            attn_bias = bias[None, None]  # [1, 1, heads, n, n]
             if mask is not None:
-                nw = mask.shape[0]
                 m = jnp.asarray(mask)[None, :, None, :, :]  # [1, nW, 1, n, n]
-                attn_bias = bias[:, None] + m  # [1, nW, heads, n, n]
-                q = q.reshape(-1, nw, self.num_heads, n, head_dim)
-                k = k.reshape(-1, nw, self.num_heads, n, head_dim)
-                v = v.reshape(-1, nw, self.num_heads, n, head_dim)
-                out = scaled_dot_attention(q, k, v, scale, bias=attn_bias)
-                out = out.reshape(bnw, self.num_heads, n, head_dim)
-            else:
-                out = scaled_dot_attention(q, k, v, scale, bias=bias)
-            out = out.transpose(0, 2, 1, 3).reshape(bnw, n, self.dim)
+                attn_bias = attn_bias + m
+            out = scaled_dot_attention(q, k, v, scale, bias=attn_bias)
+            out = out.transpose(0, 1, 3, 2, 4).reshape(b, nw, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
@@ -150,35 +155,37 @@ class SwinBlock(nn.Module):
     dtype: Dtype = jnp.float32
     remat_attention: bool = True
     use_fused_attention: bool = False
+    use_fused_mlp: bool = False
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
-        """x: [B, H, W, C] with H == W == grid."""
-        b, h, w, c = x.shape
+    def __call__(self, xw, *, deterministic: bool = True):
+        """xw: [B, nW, N, C] in the persistent windowed layout.
+
+        Non-shifted blocks run with ZERO layout copies (LN, qkv Dense, fused
+        attention, proj, MLP are all windowed-layout-native); shifted blocks
+        pay one merge->roll->partition permutation on each side of the
+        attention.
+        """
         window = min(self.window, self.grid)
         shift = self.shift if window < self.grid else 0
 
-        shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        shortcut = xw
+        h = nn.LayerNorm(dtype=self.dtype)(xw)
         if shift > 0:
-            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+            h = _shift_windows(h, window, self.grid, -shift)
             mask = _shift_attn_mask(self.grid, window, shift)
         else:
             mask = None
-        num_windows = (self.grid // window) ** 2
         attn = WindowAttention(
             self.dim,
             window,
             self.num_heads,
-            num_windows=num_windows,
             use_fused=self.use_fused_attention,
             dtype=self.dtype,
         )
 
         def attend(mdl, xin):
-            xw = window_partition(xin, window)
-            xw = mdl(xw, mask=mask)
-            return window_merge(xw, window, h, w)
+            return mdl(xin, mask=mask)
 
         if self.remat_attention and not self.use_fused_attention:
             # Rematerialize only the attention: its [G, N, N] f32 score
@@ -187,16 +194,20 @@ class SwinBlock(nn.Module):
             # at a fraction of the recompute.  The fused Pallas kernel makes
             # this moot — its scores never leave VMEM.
             attend = nn.remat(attend)
-        x = attend(attn, x)
+        h = attend(attn, h)
         if shift > 0:
-            x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
-        x = shortcut + x
+            h = _shift_windows(h, window, self.grid, shift)
+        xw = shortcut + h
 
-        h2 = nn.LayerNorm(dtype=self.dtype)(x)
+        h2 = nn.LayerNorm(dtype=self.dtype)(xw)
         h2 = Mlp(
-            int(self.dim * self.mlp_ratio), self.dim, self.dropout, dtype=self.dtype
+            int(self.dim * self.mlp_ratio),
+            self.dim,
+            self.dropout,
+            dtype=self.dtype,
+            use_fused=self.use_fused_mlp,
         )(h2, deterministic=deterministic)
-        return x + h2
+        return xw + h2
 
 
 class PatchMerging(nn.Module):
@@ -232,6 +243,7 @@ class SwinTransformer2D(nn.Module):
     remat: bool = False
     remat_attention: bool = True
     use_fused_attention: bool = False
+    use_fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True) -> Tuple[jax.Array, jax.Array]:
@@ -239,7 +251,8 @@ class SwinTransformer2D(nn.Module):
         b, h, w, _ = x.shape
         p = self.patch_size
         x = x.astype(self.dtype)
-        # Patchify as reshape + one dense matmul (TPU-friendly conv-free stem).
+        # Patchify as reshape + one dense matmul (measured faster than the
+        # stride-p conv lowering on v5e for this 4x4 stem).
         x = x.reshape(b, h // p, p, w // p, p, x.shape[-1])
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // p, w // p, p * p * 3)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="patch_embed")(x)
@@ -251,8 +264,11 @@ class SwinTransformer2D(nn.Module):
         if self.remat:
             block_cls = nn.remat(SwinBlock, static_argnums=())
         for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
+            # Partition once per stage: blocks run in the windowed layout.
+            window = min(self.window, grid)
+            xw = window_partition(x, window)
             for i in range(depth):
-                x = block_cls(
+                xw = block_cls(
                     dim=dim,
                     grid=grid,
                     num_heads=heads,
@@ -263,7 +279,9 @@ class SwinTransformer2D(nn.Module):
                     dtype=self.dtype,
                     remat_attention=self.remat_attention and not self.remat,
                     use_fused_attention=self.use_fused_attention,
-                )(x, deterministic=deterministic)
+                    use_fused_mlp=self.use_fused_mlp,
+                )(xw, deterministic=deterministic)
+            x = window_merge(xw, window, grid, grid)
             if stage != len(self.depths) - 1:
                 x = PatchMerging(dim=dim, dtype=self.dtype)(x)
                 dim *= 2

@@ -135,3 +135,93 @@ class TestV2TransposeFree:
         gr = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
         np.testing.assert_allclose(np.asarray(g2[0]), np.asarray(gr[0]), atol=2e-4, rtol=1e-3)
         np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(gr[1]), atol=2e-4, rtol=1e-3)
+
+
+class TestV3SelfAttention:
+    """v3: bias-free fused self-attention on [B, N, C] column-packed heads."""
+
+    def _make(self, rng, B=4, H=2, N=16, D=8):
+        q = rng.normal(size=(B, N, H * D)).astype(np.float32) * 0.3
+        k = rng.normal(size=(B, N, H * D)).astype(np.float32) * 0.3
+        v = rng.normal(size=(B, N, H * D)).astype(np.float32)
+        return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), H, D
+
+    @staticmethod
+    def _reference(q, k, v, num_heads, scale):
+        from edrl_tpu.models.layers import scaled_dot_attention
+
+        b, n, c = q.shape
+        d = c // num_heads
+
+        def split(x):
+            return x.reshape(b, n, num_heads, d).transpose(0, 2, 1, 3)
+
+        out = scaled_dot_attention(split(q), split(k), split(v), scale)
+        return out.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+    def test_matches_reference(self, rng):
+        from edrl_tpu.kernels.window_attention import self_attention_fused
+
+        q, k, v, H, D = self._make(rng)
+        scale = D**-0.5
+        got = self_attention_fused(q, k, v, H, scale, True)
+        want = self._reference(q, k, v, H, scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_odd_batch_no_blocking(self, rng):
+        from edrl_tpu.kernels.window_attention import self_attention_fused
+
+        q, k, v, H, D = self._make(rng, B=3)
+        scale = D**-0.5
+        got = self_attention_fused(q, k, v, H, scale, True)
+        want = self._reference(q, k, v, H, scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_grads_match_reference(self, rng):
+        from edrl_tpu.kernels.window_attention import self_attention_fused
+
+        q, k, v, H, D = self._make(rng)
+        scale = 0.4
+
+        def loss_fused(q, k, v):
+            return jnp.sum(jnp.square(self_attention_fused(q, k, v, H, scale, True)))
+
+        def loss_ref(q, k, v):
+            return jnp.sum(jnp.square(self._reference(q, k, v, H, scale)))
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
+                err_msg=f"grad mismatch for {name}",
+            )
+
+    def test_bf16_io(self, rng):
+        from edrl_tpu.kernels.window_attention import self_attention_fused
+
+        q, k, v, H, D = self._make(rng)
+        scale = D**-0.5
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        got = self_attention_fused(qb, kb, vb, H, scale, True)
+        assert got.dtype == jnp.bfloat16
+        want = self._reference(q, k, v, H, scale)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want), atol=3e-2
+        )
+
+    def test_multihead_attention_fused_matches_unfused(self, rng):
+        """MultiHeadAttention(use_fused) == the XLA path, same params."""
+        import flax.linen as nn_
+
+        from edrl_tpu.models.layers import MultiHeadAttention
+
+        x = jnp.asarray(rng.normal(size=(2, 16, 32)).astype(np.float32))
+        fused = MultiHeadAttention(dim=32, num_heads=4, use_fused=True)
+        plain = MultiHeadAttention(dim=32, num_heads=4, use_fused=False)
+        params = plain.init(jax.random.key(0), x, x, x)
+        out_f = fused.apply(params, x, x, x)
+        out_p = plain.apply(params, x, x, x)
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_p), atol=1e-5
+        )
