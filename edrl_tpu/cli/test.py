@@ -20,6 +20,14 @@ def main(argv=None):
     _enable_compile_cache()
     parser = build_parser()
     parser.add_argument("--checkpoint", default="")
+    parser.add_argument(
+        "--mc_samples",
+        type=int,
+        default=0,
+        help="N>0: MC-dropout — average N stochastic forwards and report the "
+        "predictive std (for Multi_dropout_ResNet and the Medical_*dropout* "
+        "baselines, reference baseline_models.py:1069-1113)",
+    )
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
     _, val_loader = make_loaders(cfg)
@@ -35,6 +43,22 @@ def main(argv=None):
         directory, name = os.path.split(args.checkpoint.rstrip("/"))
         mgr = CheckpointManager(directory or ".")
         state = mgr.restore(state, name)
+
+    if args.mc_samples > 0:
+        from edrl_tpu.train.mc_dropout import mc_dropout_predict
+        from edrl_tpu.train.metrics import compute_epoch_metrics
+
+        pred = mc_dropout_predict(
+            cfg, state, val_loader, num_samples=args.mc_samples, seed=cfg.train.seed
+        )
+        em = compute_epoch_metrics(pred["targets"], pred["probs"], 0.0)
+        print(
+            f"MC-dropout (K={args.mc_samples}): Acc {em.accuracy:.4f} "
+            f"AUC {em.auc:.4f} F1 {em.f1:.4f} "
+            f"mean predictive std {pred['predictive_std'].mean():.4f}"
+        )
+        mc_suite = compute_uncertainty_metrics(pred["targets"], pred["probs"])
+        print("MC-dropout suite:", {k: round(v, 4) for k, v in mc_suite.items()})
 
     eval_step = make_eval_step(make_model(cfg), cfg)
     m, targets, probs = run_eval(state, eval_step, val_loader)

@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="build noise views on the host (reference parity) instead of on-device",
     )
     p.add_argument("--synthetic_samples", type=int, default=128)
+    p.add_argument(
+        "--num_classes",
+        type=int,
+        default=2,
+        help="grading classes; the label schema carries 4 one-hot columns "
+        "(train_true.xlsx) though the shipped reference only ran binary",
+    )
     return p
 
 
@@ -78,11 +85,13 @@ def config_from_args(args) -> EDRLConfig:
         batch_size=args.batch_size,
         fold=int(args.folder[-1]) if args.folder[-1].isdigit() else 0,
         noise=noise,
+        num_classes=args.num_classes,
         num_synthetic_samples=args.synthetic_samples,
         device_noise=not args.host_noise,
     )
     model = ModelConfig(
         model_name=args.model_name,
+        num_classes=args.num_classes,
         use_bfloat16=not args.no_bfloat16,
         remat=args.remat,
     )
@@ -101,11 +110,22 @@ def config_from_args(args) -> EDRLConfig:
 
 
 def make_loaders(cfg: EDRLConfig):
-    from edrl_tpu.data import BatchLoader, GammaDataset, SyntheticGammaDataset, kfold_split
+    from edrl_tpu.data import (
+        BatchLoader,
+        GammaDataset,
+        HardSyntheticGammaDataset,
+        SyntheticGammaDataset,
+        kfold_split,
+    )
 
-    if cfg.data.dataset == "synthetic":
-        train_ds = SyntheticGammaDataset(cfg.data, mode="train")
-        val_ds = SyntheticGammaDataset(cfg.data, mode="val")
+    if cfg.data.dataset in ("synthetic", "synthetic_hard"):
+        ds_cls = (
+            HardSyntheticGammaDataset
+            if cfg.data.dataset == "synthetic_hard"
+            else SyntheticGammaDataset
+        )
+        train_ds = ds_cls(cfg.data, mode="train")
+        val_ds = ds_cls(cfg.data, mode="val")
     elif cfg.data.dataset == "glu2":
         # glu2 branch: sequential 80/20 split of the label-file id order
         # (``fusion_train.py:619-631``), not k-fold.

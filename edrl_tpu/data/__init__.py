@@ -8,7 +8,7 @@ prefetches batches on a background thread so the TPU never waits on IO.
 """
 
 from edrl_tpu.data.noise import add_gaussian, add_salt_pepper, make_noise_views
-from edrl_tpu.data.synthetic import SyntheticGammaDataset
+from edrl_tpu.data.synthetic import HardSyntheticGammaDataset, SyntheticGammaDataset
 from edrl_tpu.data.loader import BatchLoader, kfold_split
 from edrl_tpu.data.gamma import GammaDataset, GammaSub1Dataset
 
@@ -17,6 +17,7 @@ __all__ = [
     "add_salt_pepper",
     "make_noise_views",
     "SyntheticGammaDataset",
+    "HardSyntheticGammaDataset",
     "GammaDataset",
     "GammaSub1Dataset",
     "BatchLoader",

@@ -22,10 +22,12 @@ from edrl_tpu.data.transforms import fundus_train_augment, oct_train_augment
 class SyntheticGammaDataset:
     """Deterministic per-index synthetic samples with a recoverable label."""
 
-    def __init__(self, cfg: DataConfig, mode: str = "train", num_classes: int = 2):
+    def __init__(self, cfg: DataConfig, mode: str = "train", num_classes: int = 0):
         self.cfg = cfg
         self.mode = mode
-        self.num_classes = num_classes
+        # 0 = follow the config (the real label schema carries 4 one-hot
+        # columns — ``train_true.xlsx`` — so multi-class must be exercisable).
+        self.num_classes = num_classes or cfg.num_classes
         self.n = cfg.num_synthetic_samples
         self._memo = {}  # index -> base sample (deterministic, reused per epoch)
 
@@ -85,3 +87,92 @@ class SyntheticGammaDataset:
                 views[key] = oct_train_augment(views[key], rng, self.cfg.hflip_prob)
         views["label"] = np.int32(label)
         return views
+
+
+class HardSyntheticGammaDataset(SyntheticGammaDataset):
+    """Adversarial synthetic protocol: weak, modality-split, noise-buried signal.
+
+    The easy generator above is linearly separable (models hit Acc 1.0 by
+    epoch ~3), which cannot distinguish EDRL from plain late fusion.  This
+    variant is built so the reference paper's mechanisms have to earn their
+    keep:
+
+    - **Weak amplitude**: the class pattern is ``signal_amplitude`` (default
+      0.06) against 0.12-sigma per-sample nuisance noise, and evaluation adds
+      the sigma<=0.5 corruption sweep on top — clean linear separation fails.
+    - **Split across modalities with signal dropout**: with probability
+      ``signal_dropout`` per modality (never both), a sample's class pattern
+      is absent from that modality.  A single-modality model caps out below
+      ``1 - dropout/2``; only cross-modal fusion can reach the ceiling.
+    - **Class-uncorrelated distractors**: each sample carries a random
+      strong grating and intensity shift, so intensity/frequency shortcuts
+      that solve the easy task do not transfer.
+
+    No reference analog (its data paths are placeholders); this implements
+    the robustness protocol of SURVEY.md section 5.3 / the paper's noise
+    claim so ablations (MMD / EPRL / DILR on-off) are measurable.
+    """
+
+    signal_amplitude: float = 0.06
+    signal_dropout: float = 0.3
+    nuisance_sigma: float = 0.12
+    distractor_amplitude: float = 0.15
+
+    def _base_sample(self, index: int):
+        rng = np.random.default_rng(np.random.SeedSequence([99177, index]))
+        label = index % self.num_classes
+        h = self.cfg.fundus_size
+        d, oh, ow = self.cfg.oct_size
+
+        # Which modalities carry the signal for THIS sample (never neither).
+        u = rng.uniform()
+        fundus_has = u >= self.signal_dropout
+        oct_has = not (self.signal_dropout <= u < 2 * self.signal_dropout)
+
+        # Class-dependent pattern: a fixed-per-class pseudo-random spatial
+        # template (not a simple grating, so there is no single-frequency
+        # shortcut); weak amplitude.
+        cls_rng = np.random.default_rng(np.random.SeedSequence([5150, label]))
+        yy, xx = np.mgrid[0:h, 0:h]
+        f1, f2 = cls_rng.uniform(2, 9, size=2)
+        ph1, ph2 = cls_rng.uniform(0, 2 * np.pi, size=2)
+        fundus_sig = np.sin(2 * np.pi * f1 * xx / h + ph1) * np.cos(
+            2 * np.pi * f2 * yy / h + ph2
+        )
+        zz = np.mgrid[0:d][:, None, None]
+        f3 = cls_rng.uniform(2, 9)
+        ph3 = cls_rng.uniform(0, 2 * np.pi)
+        oct_sig = np.sin(2 * np.pi * f3 * zz / d + ph3) * np.ones((1, oh, ow))
+
+        # Distractors: strong class-UNcorrelated structure per sample.
+        g1 = rng.uniform(2, 9)
+        gph = rng.uniform(0, 2 * np.pi)
+        distractor_2d = np.sin(2 * np.pi * g1 * xx / h + gph)
+        g2 = rng.uniform(2, 9)
+        distractor_3d = np.sin(2 * np.pi * g2 * zz / d + rng.uniform(0, 2 * np.pi))
+        base_shift = rng.uniform(-0.08, 0.08)
+
+        a, da, ns = (
+            self.signal_amplitude,
+            self.distractor_amplitude,
+            self.nuisance_sigma,
+        )
+        fsig = a * fundus_sig if fundus_has else np.zeros((h, h))
+        osig = a * oct_sig if oct_has else np.zeros((d, 1, 1))
+        fundus = (
+            0.5
+            + base_shift
+            + fsig[..., None]
+            + da * distractor_2d[..., None]
+            + ns * rng.normal(size=(h, h, 3))
+        )
+        fundus = np.clip(fundus, 0.0, 1.0).astype(np.float32)
+        oct_vol = (
+            0.5
+            + base_shift
+            + osig
+            + da * distractor_3d
+            + ns * rng.normal(size=(d, oh, ow))
+        )
+        oct_vol = np.clip(oct_vol, 0.0, 1.0).astype(np.float32)
+        return fundus, oct_vol, label

@@ -56,12 +56,28 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 # Tensor-parallel kernel rules: (path regex, PartitionSpec for the kernel).
 # Up-projections are column-parallel (shard output dim), down-projections
-# row-parallel (shard input dim); everything else is replicated.
+# row-parallel (shard input dim); everything else is replicated.  Coverage
+# spans the transformer MLPs/attention, the EPRL encoder stacks, the DILR
+# projector/attention blocks, and the patch embeds — ~all 2-D kernels large
+# enough to matter (``sharded_byte_fraction`` reports the measured share).
 _TP_RULES = (
     (re.compile(r"Mlp_\d+/Dense_0/kernel"), P(None, "model")),
     (re.compile(r"Mlp_\d+/Dense_1/kernel"), P("model", None)),
+    # Fused-MLP param layout (kernels/fused_mlp.py): same column/row split.
+    (re.compile(r"Mlp_\d+/w1"), P(None, "model")),
+    (re.compile(r"Mlp_\d+/w2"), P("model", None)),
     (re.compile(r"qkv/kernel"), P(None, "model")),
+    (re.compile(r"/(q|k|v)/kernel"), P(None, "model")),
     (re.compile(r"proj/kernel"), P("model", None)),
+    (re.compile(r"patch_embed/kernel"), P(None, "model")),
+    # EPRL encoder MLP (enc1 -> enc2 -> enc3): column, column, row.
+    (re.compile(r"enc[12]/kernel"), P(None, "model")),
+    (re.compile(r"enc3/kernel"), P("model", None)),
+    # DILR projectors and its attention-block MLPs.
+    (re.compile(r"(shared_|guided_)?projector\d?/kernel"), P(None, "model")),
+    (re.compile(r"(self|cross)_attn\d/Dense_0/kernel"), P(None, "model")),
+    (re.compile(r"(self|cross)_attn\d/Dense_1/kernel"), P("model", None)),
+    (re.compile(r"fc_fundus/kernel"), P(None, "model")),
 )
 
 

@@ -31,10 +31,15 @@ MODALITY_GRID = {
 def _dataset_for(cfg: EDRLConfig, sigma: float):
     noise = dataclasses.replace(cfg.data.noise, condition="noise", gaussian_low=sigma)
     data_cfg = dataclasses.replace(cfg.data, noise=noise)
-    if cfg.data.dataset == "synthetic":
-        from edrl_tpu.data import SyntheticGammaDataset
+    if cfg.data.dataset in ("synthetic", "synthetic_hard"):
+        from edrl_tpu.data import HardSyntheticGammaDataset, SyntheticGammaDataset
 
-        return SyntheticGammaDataset(data_cfg, mode="val")
+        ds_cls = (
+            HardSyntheticGammaDataset
+            if cfg.data.dataset == "synthetic_hard"
+            else SyntheticGammaDataset
+        )
+        return ds_cls(data_cfg, mode="val")
     from edrl_tpu.data import GammaDataset
 
     return GammaDataset(data_cfg, mode="val")

@@ -208,6 +208,10 @@ def make_train_step(
                 mutable=["batch_stats"],
             )
             logits, loss1, feat1, aux = _normalize_output(out1)
+            if cfg.train.mmd_weight == 0.0:
+                # Ablation: the high-noise forward only feeds the MMD term —
+                # skip it entirely (half the FLOPs) when the term is off.
+                return loss1, (upd1["batch_stats"], logits, aux, jnp.asarray(0.0))
             # Second full forward on the high-noise view; its own loss is
             # discarded, only features feed MK-MMD (``fusion_train.py:194``).
             out2, upd2 = model.apply(
@@ -221,7 +225,7 @@ def make_train_step(
             )
             norm2 = _normalize_output(out2)
             feat2 = norm2[2]
-            mmd = mmd_fn(feat1, feat2)
+            mmd = cfg.train.mmd_weight * mmd_fn(feat1, feat2)
             loss = loss1 + mmd
             if cfg.train.js_distillation_weight > 0.0:
                 from edrl_tpu.ops.distributions import js_divergence

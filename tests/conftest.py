@@ -21,6 +21,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the heavy tests (tiny-model fit/ensemble/eval
+# programs) are compile-bound on CPU; repeat suite runs hit the cache.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_cpu_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

@@ -78,6 +78,103 @@ class TestEPRLProxyLossOracle:
         np.testing.assert_allclose(np.asarray(sigma)[0], sig_p, rtol=1e-5)
 
 
+class TestEPRLEvalBranchOracle:
+    """Oracle for the eval pseudo-label branch (``fusion_net.py:152-218``):
+    blended distribution combined = alpha * softmax(mean_s att) +
+    (1-alpha) * mlp(softmax(mean_d z_norm)); pseudo-label = argmax(combined)
+    (the only behavior the reference's filtered-scatter can execute — see the
+    module docstring); entropy term over combined; proxy loss re-uses the
+    train formula with the pseudo-labels.  Every deliberate deviation
+    (feature-axis normalize, argmax-for-all, fixed eval key) is pinned here
+    against an independent numpy derivation."""
+
+    def test_matches_numpy_oracle(self, rng):
+        b, n, x_dim, z_dim, c, s, topk = 4, 5, 8, 4, 3, 6, 3
+        m = EPRL(
+            x_dim=x_dim, num_tokens=n, z_dim=z_dim, num_classes=c,
+            sample_num=s, topk=topk, dropout=0.0,
+        )
+        x = jnp.asarray(rng.normal(size=(b, n, x_dim)).astype(np.float32))
+        y_init = jnp.asarray(np.array([0, 1, 2, 0]))
+        rngs = {
+            "params": jax.random.key(0),
+            "sample": jax.random.key(1),
+            "dropout": jax.random.key(2),
+        }
+        variables = m.init(rngs, x, y_init, train=True)
+        eps_arr = jax.random.normal(jax.random.key(7), (c, s, z_dim))
+        # Eval mode: no labels — the module must derive pseudo-labels.
+        mu, sigma, proxy_loss, z, entropy_loss = m.apply(
+            variables, None if False else x, None, train=False, eps=eps_arr
+        )
+
+        # ---- numpy oracle ----
+        params = variables["params"]
+        proxies = np.asarray(params["proxies"])
+        mu_p = proxies[:, :z_dim]
+        sig_p = _np_softplus(proxies[:, z_dim:])
+        z_proxy = mu_p[:, None, :] + sig_p[:, None, :] * np.asarray(eps_arr)
+        z_np = np.asarray(z)
+        z_norm = z_np / np.maximum(
+            np.linalg.norm(z_np, axis=-1, keepdims=True), 1e-12
+        )
+        p_norm = z_proxy / np.maximum(
+            np.linalg.norm(z_proxy, axis=-1, keepdims=True), 1e-12
+        )
+        att = np.einsum("bnd,csd->bcs", z_norm, p_norm) / n
+
+        def softmax(a, axis):
+            e = np.exp(a - a.max(axis=axis, keepdims=True))
+            return e / e.sum(axis=axis, keepdims=True)
+
+        att_mean = att.mean(axis=2)  # [B, C]
+        z_mean = z_norm.mean(axis=2)  # [B, N]
+        feat = softmax(z_mean, axis=1)
+        feat = np.maximum(feat, 0.0)
+        kern = np.asarray(params["token_mlp"]["kernel"])
+        bias = np.asarray(params["token_mlp"]["bias"])
+        feat = np.maximum(feat @ kern + bias, 0.0)
+        alpha = float(np.asarray(params["alpha"]))
+        combined = alpha * softmax(att_mean, axis=1) + (1.0 - alpha) * feat
+
+        pseudo = np.argmax(combined, axis=1)
+        # entropy over softmax(combined) — combined is treated as logits,
+        # exactly as the reference feeds its blend into the entropy term.
+        logp = combined - combined.max(axis=1, keepdims=True)
+        logp = logp - np.log(np.exp(logp).sum(axis=1, keepdims=True))
+        want_entropy = float(np.mean(-np.sum(np.exp(logp) * logp, axis=1)))
+
+        losses = []
+        for i in range(b):
+            pos = np.sort(att[i, pseudo[i]])[::-1][:topk]
+            neg_rows = np.concatenate(
+                [att[i, cc] for cc in range(c) if cc != pseudo[i]]
+            )
+            neg = np.sort(neg_rows)[::-1][:topk]
+            losses.append(np.exp(-pos.mean() + neg.mean()))
+        want_proxy = float(np.mean(losses))
+
+        assert float(proxy_loss) == pytest.approx(want_proxy, rel=1e-4)
+        assert float(entropy_loss) == pytest.approx(want_entropy, rel=1e-4)
+        np.testing.assert_allclose(np.asarray(mu)[0], mu_p, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(sigma)[0], sig_p, rtol=1e-5)
+
+    def test_eval_deterministic_across_calls(self, rng):
+        """Eval uses a fixed proxy-sampling key: two apply() calls agree."""
+        m = EPRL(x_dim=8, num_tokens=5, z_dim=4, num_classes=2, sample_num=6,
+                 topk=3, dropout=0.0)
+        x = jnp.asarray(rng.normal(size=(2, 5, 8)).astype(np.float32))
+        variables = m.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1),
+             "dropout": jax.random.key(2)},
+            x, jnp.asarray(np.array([0, 1])), train=True,
+        )
+        out1 = m.apply(variables, x, None, train=False)
+        out2 = m.apply(variables, x, None, train=False)
+        assert float(out1[2]) == float(out2[2])
+        assert float(out1[4]) == float(out2[4])
+
+
 class TestPoEOracle:
     """Oracle for PoE (``fusion_net.py:26-52``): alpha = softmax(phi);
     T_m = 1/(var_m + eps); mu = sum alpha T mu / sum alpha T;

@@ -1,0 +1,135 @@
+"""Hard synthetic protocol + ablation knobs.
+
+The hard generator must (a) carry a per-class signal, (b) drop it per
+modality with the configured probability (never both), (c) not be solvable
+by the trivial intensity shortcut of the easy generator; the ``mmd_weight=0``
+ablation must skip the second forward and still train.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from edrl_tpu.config import tiny_test_config
+from edrl_tpu.data import BatchLoader, HardSyntheticGammaDataset
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    c = tiny_test_config(batch_size=4)
+    return c.replace(
+        data=dataclasses.replace(
+            c.data, dataset="synthetic_hard", num_synthetic_samples=64,
+            device_noise=True, uint8_transport=False,
+        )
+    )
+
+
+class TestHardDataset:
+    def test_schema_and_determinism(self, cfg):
+        ds = HardSyntheticGammaDataset(cfg.data, mode="train")
+        s1 = ds._base_sample(3)
+        s2 = ds._base_sample(3)
+        np.testing.assert_array_equal(s1[0], s2[0])
+        assert s1[0].shape == (cfg.data.fundus_size, cfg.data.fundus_size, 3)
+        assert s1[1].shape == cfg.data.oct_size
+        assert s1[2] in (0, 1)
+
+    def test_signal_dropout_never_both(self, cfg):
+        """Reconstruct the has-signal draws: each modality ~70%, never 0/0."""
+        ds = HardSyntheticGammaDataset(cfg.data, mode="train")
+        both_missing = 0
+        f_has = o_has = 0
+        n = 200
+        for i in range(n):
+            rng = np.random.default_rng(np.random.SeedSequence([99177, i]))
+            u = rng.uniform()
+            fh = u >= ds.signal_dropout
+            oh = not (ds.signal_dropout <= u < 2 * ds.signal_dropout)
+            f_has += fh
+            o_has += oh
+            both_missing += (not fh) and (not oh)
+        assert both_missing == 0
+        assert 0.55 < f_has / n < 0.85
+        assert 0.55 < o_has / n < 0.85
+
+    def test_no_intensity_shortcut(self, cfg):
+        """Unlike the easy generator, per-class mean intensity overlaps:
+        a threshold on the image mean must not separate the classes."""
+        ds = HardSyntheticGammaDataset(cfg.data, mode="train")
+        means = {0: [], 1: []}
+        for i in range(40):
+            f, o, y = ds._base_sample(i)
+            means[y].append(float(f.mean()))
+        gap = abs(np.mean(means[0]) - np.mean(means[1]))
+        spread = (np.std(means[0]) + np.std(means[1])) / 2
+        assert gap < 2 * spread, "class means must overlap (no trivial shortcut)"
+
+    def test_loader_integration(self, cfg):
+        ds = HardSyntheticGammaDataset(cfg.data, mode="val")
+        loader = BatchLoader(ds, 4, shuffle=False, drop_last=False)
+        batch = next(iter(loader.epoch(0)))
+        assert "fundus" in batch and "oct" in batch and "label" in batch
+
+
+class TestMmdWeightAblation:
+    def test_zero_weight_trains_and_reports_zero_mmd(self, cfg):
+        import jax
+
+        from edrl_tpu.train.trainer import (
+            init_state,
+            make_model,
+            make_optimizer,
+            make_train_step,
+        )
+
+        c = cfg.replace(train=dataclasses.replace(cfg.train, mmd_weight=0.0))
+        _, state = init_state(c, 0)
+        step = make_train_step(make_model(c), make_optimizer(c), c)
+        d = c.data
+        rng = np.random.default_rng(0)
+        batch = {
+            "fundus_low": rng.uniform(size=(4, d.fundus_size, d.fundus_size, 3)).astype(np.float32),
+            "fundus_high": rng.uniform(size=(4, d.fundus_size, d.fundus_size, 3)).astype(np.float32),
+            "oct_low": rng.uniform(size=(4, *d.oct_size, 1)).astype(np.float32),
+            "oct_high": rng.uniform(size=(4, *d.oct_size, 1)).astype(np.float32),
+            "label": np.array([0, 1, 0, 1], np.int32),
+        }
+        # snapshot before the step: the jitted step donates the state buffers
+        p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+        new_state, out = step(state, batch, jax.random.key(0))
+        assert np.isfinite(float(out["loss"]))
+        assert float(out["mmd"]) == 0.0
+        # params actually updated
+        p1 = np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
+        assert not np.allclose(p0, p1)
+
+    def test_variant_configs(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "ablation_study",
+            os.path.join(
+                os.path.dirname(__file__), "..", "scripts", "ablation_study.py"
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        VARIANTS, base_config, variant = mod.VARIANTS, mod.base_config, mod.variant
+
+        class A:  # minimal args shim
+            batch_size = 4
+            train_samples = 16
+            epochs = 1
+            lr = 1e-4
+            fundus_size = 64
+            oct_size = 32
+
+        cfg = base_config(A)
+        v = {name: variant(cfg, name) for name in VARIANTS}
+        assert v["MedFusion -MMD"].train.mmd_weight == 0.0
+        assert v["MedFusion -EPRL"].model.proxy_weight_train == 0.0
+        assert v["MedFusion -DILR"].model.dilr_weight == 0.0
+        assert v["Multi_ResNet (late fusion)"].model.model_name == "Multi_ResNet"
