@@ -14,6 +14,7 @@ definition, later rounds show the speedup).
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -50,7 +51,9 @@ def make_batch(batch_size: int, data_cfg, rng):
     }
 
 
-def bench_train_step(batch_size: int = 16, steps: int = 20, remat: bool = False):
+def bench_train_step(
+    batch_size: int = 16, steps: int = 20, remat: bool = False, **model_kwargs
+):
     """Device throughput of the dual-view train step.
 
     The ``steps`` optimizer steps run inside ONE jitted ``lax.scan`` program —
@@ -69,7 +72,7 @@ def bench_train_step(batch_size: int = 16, steps: int = 20, remat: bool = False)
 
     cfg = EDRLConfig(
         data=DataConfig(batch_size=batch_size),
-        model=ModelConfig(use_bfloat16=True, remat=remat),
+        model=ModelConfig(use_bfloat16=True, remat=remat, **model_kwargs),
         train=TrainConfig(),
     )
     _, state = init_state(cfg, 0)
@@ -77,7 +80,9 @@ def bench_train_step(batch_size: int = 16, steps: int = 20, remat: bool = False)
     batch = make_batch(batch_size, cfg.data, np.random.default_rng(0))
     key = jax.random.key(0)
 
-    @jax.jit
+    # Donating the state matches production (trainer donates too) and frees
+    # ~2.2 GB of param+optimizer aliases — the margin batch 32 needs.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def run_steps(state, batch, key):
         def body(carry, _):
             new_state, out = train_step(carry, batch, key)
@@ -86,8 +91,9 @@ def bench_train_step(batch_size: int = 16, steps: int = 20, remat: bool = False)
         state, losses = jax.lax.scan(body, state, None, length=steps)
         return state, losses
 
-    # Warmup / compile (one scan program).
-    _, losses = run_steps(state, batch, key)
+    # Warmup / compile (one scan program).  The input state is donated, so
+    # keep rebinding the returned one.
+    state, losses = run_steps(state, batch, key)
     float(losses[-1])
     t0 = time.perf_counter()
     state, losses = run_steps(state, batch, key)

@@ -122,9 +122,21 @@ class ModelConfig:
     # Fused self-attention on the 3-D ViT trunk (transpose-free v3 kernel).
     # With the head_dim-128 layout above each program's matmuls fill the MXU.
     vit_fused_attention: bool = True
-    # Fused Pallas MLP (hidden VMEM-resident) on both backbones: the step is
-    # HBM-bound, so skipping the [M, 4C] hidden round-trips is the win.
+    # Fused Pallas MLP (hidden VMEM-resident) on both backbones.  Measured
+    # SLOWER than XLA's fused matmuls on v5e-1 (131.6 vs 147.2 pairs/s at
+    # batch 16, 2026-08-17): the backward's weight-grad accumulation
+    # serializes the grid where XLA splits four independent matmuls.  Kept
+    # (tested, grad-exact) for shapes where the hidden round-trip dominates;
+    # off by default.
     use_fused_mlp: bool = False
+    # Fused Pallas LayerNorm on the backbones: one read + one write per LN,
+    # stats recomputed in-VMEM in the backward.  Measured SLOWER than XLA on
+    # v5e-1 (149.6 vs 153.0 pairs/s at batch 16, 2026-08-17): the step trace
+    # showed ~10 ms of LN traffic, but XLA already fuses those passes into
+    # the surrounding residual-add / matmul reads, and an opaque custom-call
+    # at every LN breaks that fusion on both sides.  Kept (tested,
+    # grad-exact) as the building block for wider fusions; off by default.
+    use_fused_ln: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -213,6 +225,7 @@ def tiny_test_config(batch_size: int = 4) -> EDRLConfig:
         use_fused_attention=False,
         vit_fused_attention=False,
         use_fused_mlp=False,
+        use_fused_ln=False,
         remat_attention=False,
     )
     train = TrainConfig(lr=1e-3, end_epochs=2)

@@ -56,6 +56,13 @@ def _gelu_grad(x):
     )
 
 
+# The backward's per-program working set (double-buffered [C,BH] weight
+# blocks + the resident grad accumulators) exceeds Mosaic's conservative
+# 16 MB scoped-vmem default at stage-3 Swin sizes (C=1024, H=4096); v5e has
+# 128 MB of VMEM, so grant the kernel half of it.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 def _pick_block(total: int, target: int) -> int:
     """Largest divisor of ``total`` that is <= target (multiples preferred)."""
     b = min(total, target)
@@ -128,6 +135,7 @@ def _fwd_call(u, w1, b1, w2, b2, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct((m, c), u.dtype),
         scratch_shapes=[pltpu.VMEM((bm, c), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(u, w1, b1.reshape(1, h), w2, b2.reshape(1, c))
 
@@ -232,6 +240,7 @@ def _bwd_call(u, dy, w1, b1, w2, interpret):
             jax.ShapeDtypeStruct((h, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(u, dy, w1, b1.reshape(1, h), w2)
     du = jnp.sum(du_part, axis=0).astype(u.dtype)

@@ -20,6 +20,37 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+class FusedLayerNorm(nn.Module):
+    """LayerNorm over the last axis, routed through the Pallas kernel.
+
+    Owns ``scale``/``bias`` directly (same param names as ``nn.LayerNorm``,
+    so parameter trees are layout-compatible with the plain module) and
+    computes statistics in f32 on both paths.  ``use_fused=False`` or a
+    non-128-multiple feature dim takes the XLA reference path.
+    """
+
+    dtype: Dtype = jnp.float32
+    epsilon: float = 1e-6
+    use_fused: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        from edrl_tpu.kernels.layer_norm import (
+            fused_layer_norm,
+            layer_norm_reference,
+        )
+
+        x = x.astype(self.dtype)
+        if not (self.use_fused and c % 128 == 0):
+            return layer_norm_reference(x, scale, bias, self.epsilon)
+        interpret = jax.default_backend() == "cpu"
+        y = fused_layer_norm(x.reshape(-1, c), scale, bias, self.epsilon, interpret)
+        return y.reshape(x.shape)
+
+
 class Mlp(nn.Module):
     """Transformer MLP block: Linear -> act -> drop -> Linear -> drop.
 
@@ -158,11 +189,14 @@ class SelfAttentionBlock(nn.Module):
     dropout: float = 0.0
     use_fused_attention: bool = False
     use_fused_mlp: bool = False
+    use_fused_ln: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = FusedLayerNorm(
+            dtype=self.dtype, use_fused=self.use_fused_ln, name="LayerNorm_0"
+        )(x)
         h = MultiHeadAttention(
             self.dim,
             self.num_heads,
@@ -171,7 +205,9 @@ class SelfAttentionBlock(nn.Module):
             dtype=self.dtype,
         )(h, h, h, deterministic=deterministic)
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = FusedLayerNorm(
+            dtype=self.dtype, use_fused=self.use_fused_ln, name="LayerNorm_1"
+        )(x)
         h = Mlp(
             int(self.dim * self.mlp_ratio),
             self.dim,

@@ -86,6 +86,7 @@ class MedFusion(nn.Module):
             remat_attention=cfg.remat_attention,
             use_fused_attention=cfg.use_fused_attention,
             use_fused_mlp=cfg.use_fused_mlp,
+            use_fused_ln=cfg.use_fused_ln,
             name="transformer_2d",
         )(fundus, deterministic=not train)
         tokens_o, _ = ViT3D(
@@ -98,6 +99,7 @@ class MedFusion(nn.Module):
             remat=cfg.remat,
             use_fused_attention=cfg.vit_fused_attention,
             use_fused_mlp=cfg.use_fused_mlp,
+            use_fused_ln=cfg.use_fused_ln,
             name="transformer_3d",
         )(oct_vol, deterministic=not train)
 

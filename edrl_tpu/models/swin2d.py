@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from edrl_tpu.models.layers import Mlp, scaled_dot_attention
+from edrl_tpu.models.layers import FusedLayerNorm, Mlp, scaled_dot_attention
 
 Dtype = Any
 
@@ -113,7 +113,19 @@ class WindowAttention(nn.Module):
             ((2 * self.window - 1) ** 2, self.num_heads),
         )
         idx = _relative_position_index(self.window)
-        bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
+        # Bias lookup as a static one-hot matmul rather than a gather: the
+        # gather's backward is a scatter-add with massively repeated indices
+        # (n^2=20736 rows -> 529 table slots), traced at ~0.3 ms/step PER
+        # BLOCK; the matmul transpose-backward runs on the MXU and the
+        # one-hot literal is shared across blocks by XLA constant CSE.
+        onehot = np.zeros((n * n, table.shape[0]), np.float32)
+        onehot[np.arange(n * n), idx.reshape(-1)] = 1.0
+        bias = jax.lax.dot_general(
+            jnp.asarray(onehot, jnp.bfloat16),
+            table.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(n, n, self.num_heads)
         bias = bias.transpose(2, 0, 1)  # [heads, n, n]
 
         if self.use_fused:
@@ -156,6 +168,7 @@ class SwinBlock(nn.Module):
     remat_attention: bool = True
     use_fused_attention: bool = False
     use_fused_mlp: bool = False
+    use_fused_ln: bool = False
 
     @nn.compact
     def __call__(self, xw, *, deterministic: bool = True):
@@ -170,7 +183,9 @@ class SwinBlock(nn.Module):
         shift = self.shift if window < self.grid else 0
 
         shortcut = xw
-        h = nn.LayerNorm(dtype=self.dtype)(xw)
+        h = FusedLayerNorm(
+            dtype=self.dtype, use_fused=self.use_fused_ln, name="LayerNorm_0"
+        )(xw)
         if shift > 0:
             h = _shift_windows(h, window, self.grid, -shift)
             mask = _shift_attn_mask(self.grid, window, shift)
@@ -199,7 +214,9 @@ class SwinBlock(nn.Module):
             h = _shift_windows(h, window, self.grid, shift)
         xw = shortcut + h
 
-        h2 = nn.LayerNorm(dtype=self.dtype)(xw)
+        h2 = FusedLayerNorm(
+            dtype=self.dtype, use_fused=self.use_fused_ln, name="LayerNorm_1"
+        )(xw)
         h2 = Mlp(
             int(self.dim * self.mlp_ratio),
             self.dim,
@@ -213,13 +230,21 @@ class SwinBlock(nn.Module):
 class PatchMerging(nn.Module):
     dim: int
     dtype: Dtype = jnp.float32
+    use_fused_ln: bool = False
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        # Strided slices + channel concat instead of a 6-D reshape/transpose:
+        # each [B, H/2, W/2, C] slice keeps a clean (sublane, lane) tiling, so
+        # the following LayerNorm/Dense read it without a relayout pass (the
+        # transpose path traced at ~3 ms/step of formatting traffic).  The
+        # flattened feature order (sh, sw, c) matches the reshape path.
+        x = jnp.concatenate(
+            [x[:, i::2, j::2, :] for i in (0, 1) for j in (0, 1)], axis=-1
+        )
+        x = FusedLayerNorm(
+            dtype=self.dtype, use_fused=self.use_fused_ln, name="LayerNorm_0"
+        )(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype)(x)
 
 
@@ -244,6 +269,7 @@ class SwinTransformer2D(nn.Module):
     remat_attention: bool = True
     use_fused_attention: bool = False
     use_fused_mlp: bool = False
+    use_fused_ln: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True) -> Tuple[jax.Array, jax.Array]:
@@ -252,11 +278,16 @@ class SwinTransformer2D(nn.Module):
         p = self.patch_size
         x = x.astype(self.dtype)
         # Patchify as reshape + one dense matmul (measured faster than the
-        # stride-p conv lowering on v5e for this 4x4 stem).
-        x = x.reshape(b, h // p, p, w // p, p, x.shape[-1])
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // p, w // p, p * p * 3)
+        # stride-p conv lowering on v5e for this 4x4 stem).  The channel dim
+        # folds into the innermost patch axis so no intermediate carries a
+        # size-3 lane dimension (TPU pads the two minor dims to (8, 128);
+        # a [..., 4, 3] tail would inflate its formatting traffic ~85x).
+        x = x.reshape(b, h // p, p, w // p, p * x.shape[-1])
+        x = x.transpose(0, 1, 3, 2, 4).reshape(b, h // p, w // p, p * p * 3)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="patch_embed")(x)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = FusedLayerNorm(
+            dtype=self.dtype, use_fused=self.use_fused_ln, name="LayerNorm_0"
+        )(x)
 
         grid = h // p
         dim = self.embed_dim
@@ -280,14 +311,19 @@ class SwinTransformer2D(nn.Module):
                     remat_attention=self.remat_attention and not self.remat,
                     use_fused_attention=self.use_fused_attention,
                     use_fused_mlp=self.use_fused_mlp,
+                    use_fused_ln=self.use_fused_ln,
                 )(xw, deterministic=deterministic)
             x = window_merge(xw, window, grid, grid)
             if stage != len(self.depths) - 1:
-                x = PatchMerging(dim=dim, dtype=self.dtype)(x)
+                x = PatchMerging(
+                    dim=dim, dtype=self.dtype, use_fused_ln=self.use_fused_ln
+                )(x)
                 dim *= 2
                 grid //= 2
 
-        x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        x = FusedLayerNorm(
+            dtype=self.dtype, use_fused=self.use_fused_ln, name="final_norm"
+        )(x)
         tokens = x.reshape(b, grid * grid, dim)
         pooled = jnp.mean(tokens, axis=1)
         return tokens, pooled
