@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_dir", default="log")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_model_shards", type=int, default=1)
+    # Steps per jitted call (lax.scan); amortizes dispatch latency on
+    # remote/tunneled TPUs.  0 = per-batch dispatch.
+    p.add_argument("--scan_batches", type=int, default=0)
     p.add_argument("--no_bfloat16", action="store_true")
     p.add_argument("--remat", action="store_true")
     p.add_argument(
@@ -105,6 +108,7 @@ def config_from_args(args) -> EDRLConfig:
         log_dir=args.log_dir,
         name=args.name,
         num_model_shards=args.num_model_shards,
+        scan_batches=args.scan_batches,
     )
     return EDRLConfig(data=data, model=model, train=train)
 

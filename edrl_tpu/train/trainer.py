@@ -296,6 +296,40 @@ def make_eval_step(model, cfg: EDRLConfig):
     return jax.jit(step_fn)
 
 
+def make_epoch_runner(model, tx: optax.GradientTransformation, cfg: EDRLConfig):
+    """``scan_batches`` train steps inside ONE jitted ``lax.scan`` program.
+
+    Per-batch dispatch pays one host->device round-trip of latency per step;
+    on a remote/tunneled TPU that latency (seconds) dwarfs the ~100 ms step
+    and caps training at ~15 pairs/s vs the device's 154 (measured,
+    BASELINE.md).  The runner takes batches stacked on a leading axis
+    ``[N, B, ...]``, so an N-batch chunk costs one dispatch + one transfer.
+    The per-step PRNG stream is identical to per-batch dispatch: the step
+    function folds ``base_key`` with ``state.step``, which increments inside
+    the scan exactly as it does outside.
+    """
+    raw_step = make_train_step(model, tx, cfg, jit=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(state: TrainState, stacked, base_key):
+        def body(st, batch):
+            st, out = raw_step(st, batch, base_key)
+            return st, (out["loss"], out["probs"])
+
+        state, (losses, probs) = jax.lax.scan(body, state, stacked)
+        return state, losses, probs
+
+    return run_chunk
+
+
+def _stack_batches(batches):
+    """[{k: [B, ...]}] -> {k: [N, B, ...]} (host-side byte stack)."""
+    return {
+        k: np.stack([np.asarray(b[k]) for b in batches])
+        for k in batches[0]
+    }
+
+
 @dataclasses.dataclass
 class FitResult:
     train_history: list
@@ -312,7 +346,7 @@ def run_eval(
     modality_mask: Optional[np.ndarray] = None,
     mesh=None,
 ) -> Tuple[metrics_lib.EpochMetrics, np.ndarray, np.ndarray]:
-    targets, probs = [], []
+    targets, dev_probs, dev_losses = [], [], []
     loss_meter = AverageMeter()
     mask = None if modality_mask is None else jnp.asarray(modality_mask)
     for batch in loader.epoch(epoch):
@@ -321,8 +355,13 @@ def run_eval(
             state, arrays, mask
         )
         targets.append(np.asarray(batch["label"]))
-        probs.append(np.asarray(out["probs"]))
-        loss_meter.update(float(out["loss"]))
+        # Keep device futures; a per-batch float()/asarray() sync serializes
+        # the next batch's upload behind this batch's compute.
+        dev_probs.append(out["probs"])
+        dev_losses.append(out["loss"])
+    probs = [np.asarray(p) for p in dev_probs]
+    for loss in dev_losses:
+        loss_meter.update(float(loss))
     if not targets:
         # Empty loader (e.g. fold smaller than the batch with drop_last):
         # surface NaN metrics instead of crashing.
@@ -363,6 +402,13 @@ def fit(
         _, state = init_state(cfg, cfg.train.seed)
     train_step = make_train_step(model, tx, cfg)
     eval_step = make_eval_step(model, cfg)
+    # Dispatch-latency amortization: scan_batches > 0 runs that many steps
+    # per jitted call (mesh path keeps per-batch dispatch — sharded stacking
+    # is not worth the complexity there).
+    scan_n = cfg.train.scan_batches if mesh is None else 0
+    epoch_runner = (
+        make_epoch_runner(model, tx, cfg) if scan_n and scan_n > 1 else None
+    )
     base_key = jax.random.key(cfg.train.seed + 1000)
 
     writer = None
@@ -388,14 +434,51 @@ def fit(
     train_hist, val_hist = [], []
     for epoch in range(cfg.train.start_epoch, cfg.train.end_epochs + 1):
         loss_meter = AverageMeter()
-        targets, probs = [], []
+        # Device arrays are collected as async futures and materialized ONCE
+        # after the loop: a float()/np.asarray() per step forces a full
+        # host<->device sync, which serializes the next batch's upload behind
+        # the current step — on a tunneled TPU that sync (not the compute)
+        # dominates the epoch.
+        targets, dev_losses, dev_probs = [], [], []
         t0 = time.time()
+        pending = []
+
+        def flush_chunk():
+            nonlocal state
+            uniform = (
+                len({np.asarray(b["label"]).shape[0] for b in pending}) == 1
+            )
+            if epoch_runner is not None and len(pending) == scan_n and uniform:
+                # Uniform-shape chunk (train loaders drop the remainder, so
+                # every batch matches): one dispatch for scan_n steps.
+                stacked = jax.tree_util.tree_map(
+                    jnp.asarray, _stack_batches(pending)
+                )
+                state, losses, chunk_probs = epoch_runner(
+                    state, stacked, base_key
+                )
+                dev_losses.append(losses)  # [scan_n]
+                dev_probs.append(
+                    chunk_probs.reshape(-1, chunk_probs.shape[-1])
+                )
+            else:
+                for b in pending:
+                    arrays = _to_device(b, mesh)
+                    state, out = train_step(state, arrays, base_key)
+                    dev_losses.append(out["loss"].reshape(1))
+                    dev_probs.append(out["probs"])
+            targets.extend(np.asarray(b["label"]) for b in pending)
+            pending.clear()
+
         for batch in train_loader.epoch(epoch):
-            arrays = _to_device(batch, mesh)
-            state, out = train_step(state, arrays, base_key)
-            loss_meter.update(float(out["loss"]))
-            targets.append(np.asarray(batch["label"]))
-            probs.append(np.asarray(out["probs"]))
+            pending.append(batch)
+            if epoch_runner is None or len(pending) == scan_n:
+                flush_chunk()
+        if pending:
+            flush_chunk()
+        probs = [np.asarray(p) for p in dev_probs]
+        for larr in np.concatenate([np.asarray(l) for l in dev_losses]):
+            loss_meter.update(float(larr))
         epoch_time = time.time() - t0
         em = metrics_lib.compute_epoch_metrics(
             np.concatenate(targets), np.concatenate(probs), loss_meter.avg

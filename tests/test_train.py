@@ -206,3 +206,50 @@ class TestPallasMMDInTrainStep:
         _, out0 = s0(state0, batch, key)
         _, out1 = s1(state1, batch, key)
         assert float(out1["mmd"]) == pytest.approx(float(out0["mmd"]), rel=1e-3)
+
+
+class TestScanBatches:
+    """scan_batches must be bit-compatible with per-batch dispatch: the step
+    fn folds the PRNG with state.step, which advances identically inside the
+    scan, so the two paths run the same numerical program."""
+
+    def _fit(self, cfg, scan_batches):
+        import dataclasses
+
+        c = cfg.replace(
+            train=dataclasses.replace(
+                cfg.train, scan_batches=scan_batches, log_dir=""
+            )
+        )
+        train_ds = SyntheticGammaDataset(c.data, mode="train")
+        val_ds = SyntheticGammaDataset(c.data, mode="val")
+        train_loader = BatchLoader(
+            train_ds, c.data.batch_size, num_workers=1, seed=0
+        )
+        val_loader = BatchLoader(
+            val_ds, c.data.batch_size, shuffle=False, num_workers=1
+        )
+        return fit(c, train_loader, val_loader, verbose=False)
+
+    def test_scanned_matches_per_batch(self, cfg):
+        state_a, result_a = self._fit(cfg, scan_batches=0)
+        state_b, result_b = self._fit(cfg, scan_batches=2)
+        la = [m.loss for m in result_a.train_history]
+        lb = [m.loss for m in result_b.train_history]
+        np.testing.assert_allclose(la, lb, rtol=2e-4)
+        pa = jax.tree_util.tree_leaves(state_a.params)
+        pb = jax.tree_util.tree_leaves(state_b.params)
+        for a, b in zip(pa, pb):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=2e-4, rtol=2e-3,
+            )
+
+    def test_remainder_batches_dispatch_singly(self, cfg):
+        # scan_batches larger than the epoch: everything goes through the
+        # remainder path; results must still match.
+        _, result_a = self._fit(cfg, scan_batches=0)
+        _, result_b = self._fit(cfg, scan_batches=64)
+        la = [m.loss for m in result_a.train_history]
+        lb = [m.loss for m in result_b.train_history]
+        np.testing.assert_allclose(la, lb, rtol=2e-4)
