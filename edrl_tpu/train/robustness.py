@@ -28,9 +28,15 @@ MODALITY_GRID = {
 }
 
 
+def _cfg_for(cfg: EDRLConfig, sigma: float) -> EDRLConfig:
+    noise = dataclasses.replace(
+        cfg.data.noise, condition="noise", gaussian_low=sigma
+    )
+    return cfg.replace(data=dataclasses.replace(cfg.data, noise=noise))
+
+
 def _dataset_for(cfg: EDRLConfig, sigma: float):
-    noise = dataclasses.replace(cfg.data.noise, condition="noise", gaussian_low=sigma)
-    data_cfg = dataclasses.replace(cfg.data, noise=noise)
+    data_cfg = _cfg_for(cfg, sigma).data
     if cfg.data.dataset in ("synthetic", "synthetic_hard"):
         from edrl_tpu.data import HardSyntheticGammaDataset, SyntheticGammaDataset
 
@@ -53,10 +59,16 @@ def noise_sweep(
     mesh=None,
 ) -> Dict[str, Dict[float, dict]]:
     """Returns {modality: {sigma: EpochMetrics-as-dict}}."""
-    eval_step = make_eval_step(make_model(cfg), cfg)
+    model = make_model(cfg)
     modalities = list(modalities or MODALITY_GRID)
     results: Dict[str, Dict[float, dict]] = {m: {} for m in modalities}
     for sigma in sigmas:
+        # The eval step must be rebuilt PER SIGMA: on the device_noise path
+        # the low view is constructed inside the jitted step from the noise
+        # config captured at step-creation time — a sigma that only reaches
+        # the dataset config is silently ignored there (caught 2026-08-17:
+        # every sigma cell of a device_noise sweep came back identical).
+        eval_step = make_eval_step(model, _cfg_for(cfg, sigma))
         # Keep the remainder batch: dropping it loses up to eval_batch_size-1
         # samples per grid cell on small folds (same class of bug as the
         # reference's drop_last val loaders, fixed for the main eval path in

@@ -112,6 +112,15 @@ def run_variant(name: str, cfg: EDRLConfig, args):
     t0 = time.time()
     state, result = fit(vcfg, train_loader, val_loader, verbose=args.verbose)
     train_time = time.time() - t0
+    if args.state_dir:
+        # Persist the swept state: sweeps can then be re-run post-hoc
+        # (different sigmas, fixed bugs) without retraining the variant.
+        from edrl_tpu.train.checkpoint import CheckpointManager
+
+        slug = name.replace(" ", "_").replace("(", "").replace(")", "")
+        CheckpointManager(os.path.join(args.state_dir, slug)).save(
+            state, name="final"
+        )
     sweep_cfg = vcfg.replace(data=val_cfg)
     sweep = noise_sweep(sweep_cfg, state, sigmas=args.sigmas)
     return {
@@ -129,8 +138,10 @@ def to_markdown(rows, sigmas) -> str:
         "",
         "Protocol: `HardSyntheticGammaDataset` (weak modality-split signal, "
         "signal-dropout 0.3, distractors; dual-view training with "
-        "gaussian_high=0.5).  Cells are accuracy on the sigma-corrupted "
-        "low view.",
+        "gaussian_high=0.5).  Cells are `accuracy/AUC` of the final-epoch "
+        "state on the sigma-corrupted low view (AUC is the headline: the "
+        "hard protocol drives some variants to a degenerate argmax while "
+        "their ranking stays informative).",
         "",
     ]
     header = "| model | val acc |"
@@ -144,7 +155,8 @@ def to_markdown(rows, sigmas) -> str:
         row = f"| {r['name']} | {r['best_val_acc']:.3f} |"
         for m in ("both", "fundus-only", "oct-only"):
             for s in sigmas:
-                row += f" {r['sweep'][m][s]['accuracy']:.3f} |"
+                cell = r["sweep"][m][s]
+                row += f" {cell['accuracy']:.2f}/{cell['auc']:.2f} |"
         lines.append(row)
     lines += [
         "",
@@ -167,6 +179,7 @@ def main(argv=None):
     p.add_argument("--oct_size", type=int, default=96)
     p.add_argument("--sigmas", type=float, nargs="+", default=[0.0, 0.25, 0.5])
     p.add_argument("--scan_batches", type=int, default=16)
+    p.add_argument("--state_dir", default="/tmp/ablation_states")
     p.add_argument("--variants", nargs="+", default=None)
     p.add_argument("--output", default="ABLATION.md")
     p.add_argument("--verbose", action="store_true")

@@ -40,3 +40,25 @@ def test_noise_sweep_evaluates_every_sample():
     _, state = init_state(cfg, 0)
     results = noise_sweep(cfg, state, sigmas=(0.0,), modalities=["both"])
     assert results["both"][0.0]["num_samples"] == n_val
+
+
+def test_device_noise_sweep_sigma_reaches_the_step():
+    """Regression: with device_noise=True the low view is built inside the
+    jitted eval step from the noise config captured at step creation; a
+    sigma that only reached the dataset config was silently ignored and
+    every sigma cell came back identical (caught 2026-08-17 in the
+    hard-synthetic ablation).  The sweep must rebuild the step per sigma."""
+    import dataclasses
+
+    cfg = tiny_test_config(batch_size=4)
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, device_noise=True)
+    )
+    _, state = init_state(cfg, 0)
+    results = noise_sweep(cfg, state, sigmas=(0.0, 2.0), modalities=["both"])
+    clean = results["both"][0.0]
+    noisy = results["both"][2.0]
+    assert clean["loss"] != noisy["loss"], (
+        "sigma=2.0 cell identical to sigma=0.0 — the probe sigma never "
+        "reached the device-side view construction"
+    )
