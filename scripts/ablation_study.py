@@ -94,16 +94,43 @@ VARIANTS = (
 )
 
 
-def run_variant(name: str, cfg: EDRLConfig, args):
+def protocol_of(args) -> dict:
+    """The sweep/training grid a cached row must match to be reusable.
+
+    Resuming with a different grid previously replayed stale rows (KeyError
+    in to_markdown or silently mixed grids); rows now carry their protocol
+    and mismatches are invalidated on load.
+    """
+    return {
+        "sigmas": list(args.sigmas),
+        "epochs": args.epochs,
+        "train_samples": args.train_samples,
+        "val_samples": args.val_samples,
+        "batch_size": args.batch_size,
+        "lr": args.lr,
+        "fundus_size": args.fundus_size,
+        "oct_size": args.oct_size,
+    }
+
+
+def run_variant(name: str, seed: int, cfg: EDRLConfig, args):
     vcfg = variant(cfg, name)
+    # Seed threads through everything stochastic: the synthetic data draw
+    # (data.seed), init/noise/dropout PRNG (train.seed), and the shuffle
+    # order — so seed-to-seed spread includes dataset-resample variance.
+    # All three are runtime inputs, so seeds reuse the compiled programs.
+    vcfg = vcfg.replace(
+        data=dataclasses.replace(vcfg.data, seed=11 + 101 * seed),
+        train=dataclasses.replace(vcfg.train, seed=seed),
+    )
     val_cfg = dataclasses.replace(
         vcfg.data, num_synthetic_samples=args.val_samples
     )
     train_ds = HardSyntheticGammaDataset(vcfg.data, mode="train")
     val_ds = HardSyntheticGammaDataset(val_cfg, mode="val")
     train_loader = BatchLoader(
-        train_ds, vcfg.data.batch_size, shuffle=True, drop_last=True, seed=0,
-        uint8_transport=True,
+        train_ds, vcfg.data.batch_size, shuffle=True, drop_last=True,
+        seed=seed, uint8_transport=True,
     )
     val_loader = BatchLoader(
         val_ds, vcfg.data.eval_batch_size, shuffle=False, drop_last=False,
@@ -118,13 +145,15 @@ def run_variant(name: str, cfg: EDRLConfig, args):
         from edrl_tpu.train.checkpoint import CheckpointManager
 
         slug = name.replace(" ", "_").replace("(", "").replace(")", "")
-        CheckpointManager(os.path.join(args.state_dir, slug)).save(
-            state, name="final"
-        )
+        CheckpointManager(
+            os.path.join(args.state_dir, f"{slug}_s{seed}")
+        ).save(state, name="final")
     sweep_cfg = vcfg.replace(data=val_cfg)
     sweep = noise_sweep(sweep_cfg, state, sigmas=args.sigmas)
     return {
         "name": name,
+        "seed": seed,
+        "protocol": protocol_of(args),
         "best_val_acc": result.best_acc,
         "final_train_loss": result.train_history[-1].loss,
         "train_time_s": round(train_time, 1),
@@ -132,39 +161,69 @@ def run_variant(name: str, cfg: EDRLConfig, args):
     }
 
 
-def to_markdown(rows, sigmas) -> str:
+def _agg(values):
+    """mean±std string over seeds (std omitted for a single seed)."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=float)
+    if v.size <= 1:
+        return f"{v.mean():.2f}"
+    return f"{v.mean():.2f}±{v.std(ddof=1):.2f}"
+
+
+def to_markdown(rows, sigmas, variants=VARIANTS) -> str:
+    import numpy as np
+
+    by_name = {}
+    for r in rows:
+        by_name.setdefault(r["name"], []).append(r)
+    seeds_seen = sorted({r.get("seed", 0) for r in rows})
     lines = [
         "# Hard-synthetic ablation study",
         "",
         "Protocol: `HardSyntheticGammaDataset` (weak modality-split signal, "
         "signal-dropout 0.3, distractors; dual-view training with "
         "gaussian_high=0.5).  Cells are `accuracy/AUC` of the final-epoch "
-        "state on the sigma-corrupted low view (AUC is the headline: the "
-        "hard protocol drives some variants to a degenerate argmax while "
-        "their ranking stays informative).",
+        "state on the sigma-corrupted low view, mean±std over seeds "
+        f"{seeds_seen} (each seed resamples the dataset, the init PRNG and "
+        "the shuffle order).  AUC is the headline: the hard protocol drives "
+        "some variants to a degenerate argmax while their ranking stays "
+        "informative.",
         "",
     ]
-    header = "| model | val acc |"
-    sep = "|---|---|"
-    for m in ("both", "fundus-only", "oct-only"):
-        for s in sigmas:
-            header += f" {m} σ={s} |"
-            sep += "---|"
-    lines += [header, sep]
-    for r in rows:
-        row = f"| {r['name']} | {r['best_val_acc']:.3f} |"
+    for metric in ("accuracy", "auc"):
+        lines += [f"## {metric.upper()} per cell", ""]
+        header = "| model | val acc |"
+        sep = "|---|---|"
         for m in ("both", "fundus-only", "oct-only"):
             for s in sigmas:
-                cell = r["sweep"][m][s]
-                row += f" {cell['accuracy']:.2f}/{cell['auc']:.2f} |"
-        lines.append(row)
+                header += f" {m} σ={s} |"
+                sep += "---|"
+        lines += [header, sep]
+        for name in variants:
+            group = by_name.get(name)
+            if not group:
+                continue
+            row = f"| {name} | {_agg([g['best_val_acc'] for g in group])} |"
+            for m in ("both", "fundus-only", "oct-only"):
+                for s in sigmas:
+                    row += (
+                        f" {_agg([g['sweep'][m][s][metric] for g in group])} |"
+                    )
+            lines.append(row)
+        lines.append("")
+    per_run = ", ".join(
+        f"{r['name']}[s{r.get('seed', 0)}]={r['train_time_s']}" for r in rows
+    )
     lines += [
-        "",
-        f"Generated by scripts/ablation_study.py; "
-        f"train_time_s: "
-        + ", ".join(f"{r['name']}={r['train_time_s']}" for r in rows),
+        f"Generated by scripts/ablation_study.py; train_time_s: {per_run}",
         "",
     ]
+    analysis = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "ABLATION_ANALYSIS.md")
+    if os.path.exists(analysis):
+        with open(analysis) as f:
+            lines += ["", f.read()]
     return "\n".join(lines)
 
 
@@ -178,6 +237,7 @@ def main(argv=None):
     p.add_argument("--fundus_size", type=int, default=384)
     p.add_argument("--oct_size", type=int, default=96)
     p.add_argument("--sigmas", type=float, nargs="+", default=[0.0, 0.25, 0.5])
+    p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     p.add_argument("--scan_batches", type=int, default=16)
     p.add_argument("--state_dir", default="/tmp/ablation_states")
     p.add_argument("--variants", nargs="+", default=None)
@@ -185,12 +245,15 @@ def main(argv=None):
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
     args.sigmas = tuple(args.sigmas)
+    proto = protocol_of(args)
 
     cfg = base_config(args)
-    # Incremental persistence: each variant's full record (sweep included)
-    # lands in a .jsonl next to the output as soon as it finishes, and
-    # already-recorded variants are skipped on re-run — a multi-hour study
-    # survives timeouts/restarts without retraining finished variants.
+    # Incremental persistence: each (variant, seed) full record (sweep
+    # included) lands in a .jsonl next to the output as soon as it finishes,
+    # and already-recorded runs are skipped on re-run — a multi-hour study
+    # survives timeouts/restarts without retraining finished runs.  Rows
+    # whose recorded protocol (sigma grid / sample counts / lr) mismatches
+    # the current invocation are invalidated, not silently mixed in.
     jsonl = args.output + ".jsonl"
     rows = []
     done = set()
@@ -198,25 +261,46 @@ def main(argv=None):
         with open(jsonl) as f:
             for line in f:
                 r = json.loads(line)
+                if r.get("protocol") != proto:
+                    print(
+                        f"(stale row dropped: {r['name']} seed="
+                        f"{r.get('seed')} — protocol mismatch)", flush=True,
+                    )
+                    continue
                 # JSON stringifies the float sigma keys; restore them.
                 r["sweep"] = {
                     m: {float(s): v for s, v in cells.items()}
                     for m, cells in r["sweep"].items()
                 }
                 rows.append(r)
-                done.add(r["name"])
-    for name in args.variants or VARIANTS:
-        if name in done:
-            print(f"=== {name} === (cached in {jsonl})", flush=True)
-            continue
-        print(f"=== {name} ===", flush=True)
-        r = run_variant(name, cfg, args)
-        rows.append(r)
-        with open(jsonl, "a") as f:
-            f.write(json.dumps(r, default=float) + "\n")
-        print(json.dumps({k: v for k, v in r.items() if k != "sweep"}, default=float), flush=True)
+                done.add((r["name"], r["seed"]))
+    variants = tuple(args.variants or VARIANTS)
+    # Seed-major order: the first pass yields a complete single-seed table
+    # for every variant (and pays all the compiles); later passes add spread.
+    for seed in args.seeds:
+        for name in variants:
+            if (name, seed) in done:
+                print(f"=== {name} s{seed} === (cached)", flush=True)
+                continue
+            print(f"=== {name} s{seed} ===", flush=True)
+            r = run_variant(name, seed, cfg, args)
+            rows.append(r)
+            with open(jsonl, "a") as f:
+                f.write(json.dumps(r, default=float) + "\n")
+            print(
+                json.dumps(
+                    {k: v for k, v in r.items()
+                     if k not in ("sweep", "protocol")},
+                    default=float,
+                ),
+                flush=True,
+            )
+            # Re-render after every run so a killed study still leaves the
+            # freshest table on disk.
+            with open(args.output, "w") as f:
+                f.write(to_markdown(rows, args.sigmas, variants))
 
-    md = to_markdown(rows, args.sigmas)
+    md = to_markdown(rows, args.sigmas, variants)
     with open(args.output, "w") as f:
         f.write(md)
     print(md)
