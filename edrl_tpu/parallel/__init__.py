@@ -14,6 +14,7 @@ from edrl_tpu.parallel.mesh import (
     replicated,
     infer_param_shardings,
     shard_batch,
+    shard_stacked_batch,
     sharded_byte_fraction,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "replicated",
     "infer_param_shardings",
     "shard_batch",
+    "shard_stacked_batch",
     "sharded_byte_fraction",
 ]

@@ -54,6 +54,24 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_stacked_batch(stacked: Any, mesh: Mesh) -> Any:
+    """device_put a stacked ``{k: [N, B, ...]}`` chunk with the BATCH axis
+    (dim 1) over 'data'.
+
+    This is how scanned-epoch training composes with the mesh: the scan
+    steps over dim 0 on every chip, and each per-step slice arrives already
+    sharded ``P('data')`` exactly as the per-batch dispatch path ships it —
+    so the scanned sharded program is step-for-step identical to per-batch
+    sharded dispatch (regression-tested in tests/test_parallel.py).
+    """
+    sharding = NamedSharding(mesh, P(None, "data"))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, stacked)
+
+
 # Tensor-parallel kernel rules: (path regex, PartitionSpec for the kernel).
 # Up-projections are column-parallel (shard output dim), down-projections
 # row-parallel (shard input dim); everything else is replicated.  Coverage

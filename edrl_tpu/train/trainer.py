@@ -400,15 +400,26 @@ def fit(
     tx = make_optimizer(cfg)
     if state is None:
         _, state = init_state(cfg, cfg.train.seed)
-    train_step = make_train_step(model, tx, cfg)
     eval_step = make_eval_step(model, cfg)
     # Dispatch-latency amortization: scan_batches > 0 runs that many steps
-    # per jitted call (mesh path keeps per-batch dispatch — sharded stacking
-    # is not worth the complexity there).
-    scan_n = cfg.train.scan_batches if mesh is None else 0
+    # per jitted call.  Composes with the mesh: the stacked chunk is sharded
+    # P(None, 'data') so every scanned step sees the same per-chip slices as
+    # per-batch dispatch would (regression test in tests/test_parallel.py).
+    scan_n = cfg.train.scan_batches
     epoch_runner = (
         make_epoch_runner(model, tx, cfg) if scan_n and scan_n > 1 else None
     )
+    # Under scan mode the per-batch step only runs for remainder chunks —
+    # build it lazily so an evenly-divisible epoch never pays its (full
+    # train-step, minutes-cold on the tunnel) compile.
+    _step_cache = [] if epoch_runner is not None else [
+        make_train_step(model, tx, cfg)
+    ]
+
+    def train_step(*a, **kw):
+        if not _step_cache:
+            _step_cache.append(make_train_step(model, tx, cfg))
+        return _step_cache[0](*a, **kw)
     base_key = jax.random.key(cfg.train.seed + 1000)
 
     writer = None
@@ -451,9 +462,13 @@ def fit(
             if epoch_runner is not None and len(pending) == scan_n and uniform:
                 # Uniform-shape chunk (train loaders drop the remainder, so
                 # every batch matches): one dispatch for scan_n steps.
-                stacked = jax.tree_util.tree_map(
-                    jnp.asarray, _stack_batches(pending)
-                )
+                stacked = _stack_batches(pending)
+                if mesh is not None:
+                    from edrl_tpu.parallel.mesh import shard_stacked_batch
+
+                    stacked = shard_stacked_batch(stacked, mesh)
+                else:
+                    stacked = jax.tree_util.tree_map(jnp.asarray, stacked)
                 state, losses, chunk_probs = epoch_runner(
                     state, stacked, base_key
                 )
