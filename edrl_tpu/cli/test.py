@@ -30,6 +30,22 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
+
+    emit = print
+    if cfg.train.log_dir:
+        import os
+
+        from edrl_tpu.train.logging import setup_logging
+
+        logger = setup_logging(
+            os.path.join(
+                cfg.train.log_dir,
+                f"{cfg.data.dataset}_{cfg.train.name}_test.log",
+            )
+        )
+        logger.info("args: %s", vars(args))
+        emit = logger.info
+
     _, val_loader = make_loaders(cfg)
 
     from edrl_tpu.train.checkpoint import CheckpointManager
@@ -62,19 +78,19 @@ def main(argv=None):
 
     eval_step = make_eval_step(make_model(cfg), cfg)
     m, targets, probs = run_eval(state, eval_step, val_loader)
-    print(
+    emit(
         f"Test: Acc {m.accuracy:.4f} AUC {m.auc:.4f} F1 {m.f1:.4f} "
         f"Precision {m.precision:.4f} Recall {m.recall:.4f} "
         f"Specificity {m.specificity:.4f}"
     )
     suite = compute_uncertainty_metrics(targets, probs)
-    print("Uncertainty suite:", {k: round(v, 4) for k, v in suite.items()})
+    emit(f"Uncertainty suite: {({k: round(v, 4) for k, v in suite.items()})}")
     for mask, label in (
         (np.array([True, False]), "fundus-only"),
         (np.array([False, True]), "oct-only"),
     ):
         mm, _, _ = run_eval(state, eval_step, val_loader, modality_mask=mask)
-        print(f"Missing-modality [{label}]: Acc {mm.accuracy:.4f} AUC {mm.auc:.4f}")
+        emit(f"Missing-modality [{label}]: Acc {mm.accuracy:.4f} AUC {mm.auc:.4f}")
 
 
 if __name__ == "__main__":

@@ -49,6 +49,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--label_file", default="")
     p.add_argument("--checkpoint_dir", default="checkpoint")
     p.add_argument("--log_dir", default="log")
+    # End-of-run loss/acc curves, written like the reference's
+    # (``fusion_train.py:771-772``); "" disables.
+    p.add_argument("--plot_dir", default="results/plot")
+    p.add_argument(
+        "--student_t_every",
+        type=int,
+        default=0,
+        help="dump EPRL proxy Student-t PDF grids to --plot_dir every N "
+        "epochs (reference fusion_net.py:852-868 intent; 0 = off)",
+    )
+    p.add_argument(
+        "--save_every",
+        type=int,
+        default=0,
+        help="keep an epoch_{N} checkpoint every N epochs so --test_epoch "
+        "can evaluate that epoch (0 = best-only)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_model_shards", type=int, default=1)
     # Steps per jitted call (lax.scan); amortizes dispatch latency on
@@ -106,6 +123,9 @@ def config_from_args(args) -> EDRLConfig:
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
         log_dir=args.log_dir,
+        plot_dir=getattr(args, "plot_dir", ""),
+        student_t_every=getattr(args, "student_t_every", 0),
+        save_every=getattr(args, "save_every", 0),
         name=args.name,
         num_model_shards=args.num_model_shards,
         scan_batches=args.scan_batches,
@@ -199,6 +219,25 @@ def main(argv=None):
     _enable_compile_cache()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+
+    # File+console logging of the run configuration — the reference defined
+    # ``log_args`` (``fusion_train.py:44-63``) but never wired it; here every
+    # CLI run leaves a .log next to its CSVs.
+    emit = print
+    if cfg.train.log_dir:
+        import os as _os
+
+        from edrl_tpu.train.logging import setup_logging
+
+        logger = setup_logging(
+            _os.path.join(
+                cfg.train.log_dir,
+                f"{cfg.data.dataset}_{cfg.train.name}_train.log",
+            )
+        )
+        logger.info("args: %s", vars(args))
+        emit = logger.info
+
     train_loader, val_loader = make_loaders(cfg)
 
     from edrl_tpu.train.checkpoint import CheckpointManager
@@ -222,29 +261,35 @@ def main(argv=None):
 
     if cfg.train.mode in ("train", "train&test"):
         state, result = fit(cfg, train_loader, val_loader, mesh=mesh, checkpoint_manager=mgr)
-        print(f"Best val accuracy {result.best_acc:.4f} at epoch {result.best_epoch}")
+        emit(f"Best val accuracy {result.best_acc:.4f} at epoch {result.best_epoch}")
     if cfg.train.mode in ("test", "train&test"):
         _, state = init_state(cfg, cfg.train.seed)
-        if mgr.best_info() is not None:
+        # ``--test_epoch`` parity (``fusion_train.py:517``): evaluate that
+        # epoch's checkpoint when one was kept (--save_every), else best.
+        epoch_name = f"epoch_{args.test_epoch}"
+        if args.test_epoch and os.path.isdir(os.path.join(ckpt_dir, epoch_name)):
+            state = mgr.restore(state, epoch_name)
+            emit(f"Evaluating checkpoint {epoch_name}")
+        elif mgr.best_info() is not None:
             state = mgr.restore(state, "best")
         eval_step = make_eval_step(make_model(cfg), cfg)
         from edrl_tpu.train.metrics import compute_uncertainty_metrics
 
         m, targets, probs = run_eval(state, eval_step, val_loader, mesh=mesh)
-        print(
+        emit(
             f"Test: Acc {m.accuracy:.4f} AUC {m.auc:.4f} F1 {m.f1:.4f} "
             f"Precision {m.precision:.4f} Recall {m.recall:.4f} "
             f"Specificity {m.specificity:.4f}"
         )
         suite = compute_uncertainty_metrics(targets, probs)
-        print("Uncertainty suite:", {k: round(v, 4) for k, v in suite.items()})
+        emit(f"Uncertainty suite: {({k: round(v, 4) for k, v in suite.items()})}")
         # Missing-modality sweep (BASELINE.json config 5).
         for mask, label in (
             (np.array([True, False]), "fundus-only"),
             (np.array([False, True]), "oct-only"),
         ):
             mm, _, _ = run_eval(state, eval_step, val_loader, modality_mask=mask, mesh=mesh)
-            print(f"Missing-modality [{label}]: Acc {mm.accuracy:.4f} AUC {mm.auc:.4f}")
+            emit(f"Missing-modality [{label}]: Acc {mm.accuracy:.4f} AUC {mm.auc:.4f}")
 
 
 if __name__ == "__main__":

@@ -169,6 +169,19 @@ class TrainConfig:
     scan_batches: int = 0
     checkpoint_dir: str = "checkpoint"
     log_dir: str = "log"
+    # Keep an ``epoch_{N}`` checkpoint every N epochs (0 = best-only).
+    # Enables ``--test_epoch`` to evaluate a specific historical epoch like
+    # the reference's per-epoch .pth files (``fusion_train.py:517``).
+    save_every: int = 0
+    # End-of-run loss/accuracy curve jpgs, written here when non-empty
+    # (reference ``loss_plot``/``metrics_plot`` to results/plot/,
+    # ``fusion_train.py:65-76,120-135,771-772``).
+    plot_dir: str = ""
+    # Every N epochs dump the EPRL proxy Student-t distribution PDFs to
+    # ``plot_dir`` (0 = off).  The reference's equivalent
+    # (``fusion_net.py:852-868``) was defined but had no call site; 10 was
+    # its evident intended cadence.
+    student_t_every: int = 0
     name: str = "checkpoint_0.3"  # reference --name
     # Plateau LR schedule existed but was never stepped in the reference
     # (``fusion_train.py:748``, ledger #10); off by default for parity.

@@ -33,6 +33,11 @@ def setup_logging(log_file: str):
 
     logger = logging.getLogger("edrl_tpu")
     logger.setLevel(logging.DEBUG)
+    # Idempotent: re-invocation (tests, repeated CLI calls in-process)
+    # replaces handlers instead of stacking duplicates.
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
+        h.close()
     formatter = logging.Formatter(
         "%(asctime)s ===> %(message)s", datefmt="%Y-%m-%d %H:%M:%S"
     )

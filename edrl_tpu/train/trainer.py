@@ -520,11 +520,49 @@ def fit(
             best_acc, best_epoch = vm.accuracy, epoch
             if checkpoint_manager is not None:
                 checkpoint_manager.save_best(state, epoch, best_acc)
+        if (
+            checkpoint_manager is not None
+            and cfg.train.save_every > 0
+            and epoch % cfg.train.save_every == 0
+        ):
+            checkpoint_manager.save(state, name=f"epoch_{epoch}")
         if plateau is not None:
             new_lr = plateau.step(vm.loss)
             if new_lr is not None:
                 state = set_learning_rate(state, new_lr)
                 if verbose:
                     print(f"Plateau: reducing lr to {new_lr:g}")
+        if (
+            cfg.train.plot_dir
+            and cfg.train.student_t_every > 0
+            and epoch % cfg.train.student_t_every == 0
+        ):
+            from edrl_tpu.train.visualize import dump_proxy_distributions
+
+            try:
+                dump_proxy_distributions(
+                    state.params, cfg.model, epoch, cfg.train.plot_dir
+                )
+            except KeyError:
+                pass  # model without EPRL proxies (baselines)
+
+    if cfg.train.plot_dir and train_hist:
+        # End-of-run curve jpgs (reference ``fusion_train.py:771-772``;
+        # the acc curve plots per-epoch val accuracy rather than the
+        # reference's running-best, which flatlines).
+        from edrl_tpu.train.visualize import loss_plot, metrics_plot
+
+        stem = (
+            f"{cfg.model.model_name}_{cfg.data.batch_size}_"
+            f"{cfg.data.dataset}_{cfg.train.end_epochs}"
+        )
+        loss_plot(
+            [m.loss for m in train_hist],
+            os.path.join(cfg.train.plot_dir, f"{stem}_loss.jpg"),
+        )
+        metrics_plot(
+            {"acc": [m.accuracy for m in val_hist]},
+            os.path.join(cfg.train.plot_dir, f"{stem}_acc.jpg"),
+        )
 
     return state, FitResult(train_hist, val_hist, best_acc, best_epoch)

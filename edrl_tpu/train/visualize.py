@@ -45,6 +45,56 @@ def metrics_plot(series: dict, path: str) -> str:
     return path
 
 
+def dump_proxy_distributions(params, model_cfg, epoch: int, out_dir: str) -> str:
+    """Per-epoch Student-t proxy distribution dump.
+
+    Reconstruction of ``MedFusion.visualize_and_save_distributions``
+    (``fusion_net.py:852-868``) — defined in the reference but never called
+    (no call site exists); here it actually runs every
+    ``train.student_t_every`` epochs.  One subplot per (modality, class):
+    the positive curve is that class's EPRL proxy Gaussian summarized as a
+    Student-t (dof from the reference's sample-variance estimate,
+    ``fusion_net.py:121-125``), the negative curve pools the other classes.
+    """
+    import numpy as np
+
+    from edrl_tpu.models.auxiliary import estimate_v
+
+    z = model_cfg.z_dim
+    mu_p, sig_p, v_p, mu_n, sig_n, v_n = [], [], [], [], [], []
+    rng = np.random.default_rng(0)
+    for name in ("eprl_fundus", "eprl_oct"):
+        if name not in params:
+            continue
+        proxies = np.asarray(params[name]["proxies"], np.float32)  # [C, 2z]
+        mu = proxies[:, :z]
+        sigma = np.logaddexp(proxies[:, z:], 0.0)  # softplus
+        num_classes = proxies.shape[0]
+
+        def stats(rows):
+            m = float(mu[rows].mean())
+            s = float(sigma[rows].mean())
+            samples = mu[rows][None] + sigma[rows][None] * rng.standard_normal(
+                (64, len(rows), z)
+            ).astype(np.float32)
+            v = float(np.asarray(estimate_v(samples.reshape(64, -1)[None])).mean())
+            return m, max(s, 1e-4), v
+
+        for c in range(num_classes):
+            pos = stats([c])
+            neg = stats([k for k in range(num_classes) if k != c] or [c])
+            mu_p.append(pos[0]); sig_p.append(pos[1]); v_p.append(pos[2])
+            mu_n.append(neg[0]); sig_n.append(neg[1]); v_n.append(neg[2])
+    filename = os.path.join(
+        out_dir, f"students_t_distributions_epoch_{epoch}.pdf"
+    )
+    return visualize_student_t_distributions(
+        mu_p, sig_p, v_p, mu_n, sig_n, v_n,
+        f"Epoch {epoch} Student's t Distributions (Positive and Negative)",
+        filename,
+    )
+
+
 def visualize_student_t_distributions(
     mu_pos, sigma_pos, v_pos, mu_neg, sigma_neg, v_neg, title: str, filename: str
 ) -> str:
