@@ -420,13 +420,39 @@ class FeatureExtractor3D(nn.Module):
         return logits, loss, pooled
 
 
-class MultiEnsemble3DResNet(nn.Module):
-    """Ensemble-member variant with a deeper 3-D backbone
-    (``Multi_ensemble_3D_ResNet``, ``baseline_models.py:1007-1068``): the
-    members differ structurally (3-D depth), not just by learning rate."""
+class MultiEnsembleResNet(nn.Module):
+    """Structural ensemble-member variant (``Multi_ensemble_ResNet``,
+    ``baseline_models.py:1007-1038``): the 2-D stream is the 14w8s Res2Net
+    (``Medical_base2_2DNet`` -> ``res2net50_v1b_14w_8s``) instead of the
+    26w4s default, the 3-D stream is ResNet-10, and the classifier is the
+    reference's single Linear on the concat (no hidden layer)."""
 
     classes: int = 2
-    blocks_3d: Sequence[int] = (1, 1, 1, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, fundus, oct_vol, y=None, *, train: bool = True):
+        _, pf = Res2Net2D(
+            base_width=14, scales=8, dtype=self.dtype, name="fundus_backbone"
+        )(fundus, train=train)
+        _, po = ResNet3D(blocks=(1, 1, 1, 1), dtype=self.dtype, name="oct_backbone")(
+            oct_vol, train=train
+        )
+        feat = jnp.concatenate([pf, po], axis=1)
+        logits = nn.Dense(self.classes, dtype=jnp.float32, name="fc")(feat)
+        loss = _ce(logits, y) if y is not None else jnp.asarray(0.0)
+        return logits, loss, feat
+
+
+class MultiEnsemble3DResNet(nn.Module):
+    """Ensemble-member variant with a deeper 3-D backbone
+    (``Multi_ensemble_3D_ResNet``, ``baseline_models.py:1041-1068``):
+    ResNet-18 blocks (``Medical_base2_3DNet`` -> ``model_depth=18``) under
+    the 26w4s 2-D stream — the members differ structurally, not just by
+    learning rate."""
+
+    classes: int = 2
+    blocks_3d: Sequence[int] = (2, 2, 2, 2)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -436,6 +462,6 @@ class MultiEnsemble3DResNet(nn.Module):
             oct_vol, train=train
         )
         feat = jnp.concatenate([pf, po], axis=1)
-        logits = _head(feat, self.classes, "head", hidden=256)
+        logits = nn.Dense(self.classes, dtype=jnp.float32, name="fc")(feat)
         loss = _ce(logits, y) if y is not None else jnp.asarray(0.0)
         return logits, loss, feat

@@ -34,6 +34,46 @@ def _medfusion(cfg: EDRLConfig) -> nn.Module:
     )
 
 
+def _dtype(cfg: EDRLConfig):
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if cfg.model.use_bfloat16 else jnp.float32
+
+
+def _swin_kwargs(cfg: EDRLConfig) -> dict:
+    """Thread the flagship's measured TPU-first Swin layout (head_dim-128
+    heads, fused attention) into transformer baselines so baseline-vs-EDRL
+    comparisons share the same kernel path (VERDICT r2 weak #6).  dtype is
+    set on the baseline module itself, not here."""
+    m = cfg.model
+    return dict(
+        embed_dim=m.swin_embed_dim,
+        depths=m.swin_depths,
+        num_heads=m.swin_heads,
+        window=m.swin_window,
+        remat=m.remat,
+        remat_attention=m.remat_attention,
+        use_fused_attention=m.use_fused_attention,
+        use_fused_mlp=m.use_fused_mlp,
+        use_fused_ln=m.use_fused_ln,
+    )
+
+
+def _vit_kwargs(cfg: EDRLConfig) -> dict:
+    m = cfg.model
+    return dict(
+        volume_size=cfg.data.oct_size[0],
+        patch_size=m.vit3d_patch,
+        dim=m.oct_embed_dim,
+        depth=m.vit3d_depth,
+        num_heads=m.vit3d_heads,
+        remat=m.remat,
+        use_fused_attention=m.vit_fused_attention,
+        use_fused_mlp=m.use_fused_mlp,
+        use_fused_ln=m.use_fused_ln,
+    )
+
+
 MODEL_REGISTRY: Dict[str, Callable[[EDRLConfig], nn.Module]] = {
     "MedFusion": _medfusion,
     "IMDR": _medfusion,  # Run_fusion.sh alias (ledger #11)
@@ -47,18 +87,27 @@ MODEL_REGISTRY: Dict[str, Callable[[EDRLConfig], nn.Module]] = {
         classes=cfg.model.num_classes
     ),
     "Base_transformer": lambda cfg: B.TwoDTransformer(
-        classes=cfg.model.num_classes, img_size=cfg.data.fundus_size
+        classes=cfg.model.num_classes, img_size=cfg.data.fundus_size,
+        swin_kwargs=_swin_kwargs(cfg), dtype=_dtype(cfg),
     ),
     "2D_transformer": lambda cfg: B.TwoDTransformer(
-        classes=cfg.model.num_classes, img_size=cfg.data.fundus_size
+        classes=cfg.model.num_classes, img_size=cfg.data.fundus_size,
+        swin_kwargs=_swin_kwargs(cfg), dtype=_dtype(cfg),
     ),
-    "3D_transformer": lambda cfg: B.ThreeDTransformer(classes=cfg.model.num_classes),
+    "3D_transformer": lambda cfg: B.ThreeDTransformer(
+        classes=cfg.model.num_classes,
+        vit_kwargs=_vit_kwargs(cfg), dtype=_dtype(cfg),
+    ),
     "Trans_cross": lambda cfg: B.TransCross(
-        classes=cfg.model.num_classes, img_size=cfg.data.fundus_size
+        classes=cfg.model.num_classes, img_size=cfg.data.fundus_size,
+        swin_kwargs=_swin_kwargs(cfg), vit_kwargs=_vit_kwargs(cfg),
+        dtype=_dtype(cfg),
     ),
     "MLC": lambda cfg: B.MLC(classes=cfg.model.num_classes),
     "MLC_trans": lambda cfg: B.MLCTrans(
-        classes=cfg.model.num_classes, img_size=cfg.data.fundus_size
+        classes=cfg.model.num_classes, img_size=cfg.data.fundus_size,
+        swin_kwargs=_swin_kwargs(cfg), vit_kwargs=_vit_kwargs(cfg),
+        dtype=_dtype(cfg),
     ),
     "Medical_2DNet": lambda cfg: B.FeatureExtractor2D(
         classes=cfg.model.num_classes, output="logits"
@@ -72,7 +121,9 @@ MODEL_REGISTRY: Dict[str, Callable[[EDRLConfig], nn.Module]] = {
     "Medical_base_dropout_3DNet": lambda cfg: B.FeatureExtractor3D(
         classes=cfg.model.num_classes, output="logits", dropout=0.3
     ),
-    "Multi_ensemble_ResNet": lambda cfg: B.MultiResNet(classes=cfg.model.num_classes),
+    "Multi_ensemble_ResNet": lambda cfg: B.MultiEnsembleResNet(
+        classes=cfg.model.num_classes
+    ),
     "Multi_ensemble_3D_ResNet": lambda cfg: B.MultiEnsemble3DResNet(
         classes=cfg.model.num_classes
     ),
