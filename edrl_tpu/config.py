@@ -119,6 +119,15 @@ class ModelConfig:
     remat_attention: bool = True
     # Fused Pallas window attention: scores stay VMEM-resident, custom VJP.
     use_fused_attention: bool = True
+    # v4: fuse the whole attention SUBLAYER (LN + qkv matmul + per-head
+    # window attention + proj + residual) into one Pallas kernel with the
+    # sublayer weights VMEM-resident across the grid
+    # (kernels/block_attention.py).  Attacks the roofline conclusion in
+    # BASELINE.md (LN/residual round-trips + HBM-bound qkv/proj dots).
+    # Backward composes the v2 kernels with large XLA matmuls for the
+    # weight grads.  Takes precedence over use_fused_attention /
+    # vit_fused_attention on both backbones when on.
+    use_fused_block_attention: bool = False
     # Fused self-attention on the 3-D ViT trunk (transpose-free v3 kernel).
     # With the head_dim-128 layout above each program's matmuls fill the MXU.
     vit_fused_attention: bool = True

@@ -190,21 +190,57 @@ class SelfAttentionBlock(nn.Module):
     use_fused_attention: bool = False
     use_fused_mlp: bool = False
     use_fused_ln: bool = False
+    use_fused_block_attention: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        h = FusedLayerNorm(
-            dtype=self.dtype, use_fused=self.use_fused_ln, name="LayerNorm_0"
-        )(x)
-        h = MultiHeadAttention(
-            self.dim,
-            self.num_heads,
-            dropout=self.dropout,
-            use_fused=self.use_fused_attention,
-            dtype=self.dtype,
-        )(h, h, h, deterministic=deterministic)
-        x = x + h
+        if self.use_fused_block_attention and (
+            self.dropout == 0.0 or deterministic
+        ):
+            # v4: LN + qkv + attention + proj + residual in one Pallas
+            # program (kernels/block_attention.py); W=1, bias-free (zeros).
+            from edrl_tpu.kernels.block_attention import (
+                attention_sublayer_fused,
+            )
+
+            n = x.shape[1]
+            init = nn.initializers.lecun_normal()
+            gamma = self.param("ln1_scale", nn.initializers.ones, (self.dim,))
+            beta = self.param("ln1_bias", nn.initializers.zeros, (self.dim,))
+            wqkv = self.param("qkv_kernel", init, (self.dim, 3 * self.dim))
+            bqkv = self.param(
+                "qkv_bias", nn.initializers.zeros, (3 * self.dim,)
+            )
+            wproj = self.param("proj_kernel", init, (self.dim, self.dim))
+            bproj = self.param("proj_bias", nn.initializers.zeros, (self.dim,))
+            scale = (self.dim // self.num_heads) ** -0.5
+            interpret = jax.default_backend() == "cpu"
+            x = attention_sublayer_fused(
+                x[:, None].astype(self.dtype),
+                gamma,
+                beta,
+                wqkv.astype(self.dtype),
+                bqkv,
+                wproj.astype(self.dtype),
+                bproj,
+                jnp.zeros((1, self.num_heads, n, n), jnp.float32),
+                self.num_heads,
+                scale,
+                interpret,
+            )[:, 0]
+        else:
+            h = FusedLayerNorm(
+                dtype=self.dtype, use_fused=self.use_fused_ln, name="LayerNorm_0"
+            )(x)
+            h = MultiHeadAttention(
+                self.dim,
+                self.num_heads,
+                dropout=self.dropout,
+                use_fused=self.use_fused_attention,
+                dtype=self.dtype,
+            )(h, h, h, deterministic=deterministic)
+            x = x + h
         h = FusedLayerNorm(
             dtype=self.dtype, use_fused=self.use_fused_ln, name="LayerNorm_1"
         )(x)

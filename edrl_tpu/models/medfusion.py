@@ -87,6 +87,7 @@ class MedFusion(nn.Module):
             use_fused_attention=cfg.use_fused_attention,
             use_fused_mlp=cfg.use_fused_mlp,
             use_fused_ln=cfg.use_fused_ln,
+            use_fused_block_attention=cfg.use_fused_block_attention,
             name="transformer_2d",
         )(fundus, deterministic=not train)
         tokens_o, _ = ViT3D(
@@ -100,6 +101,7 @@ class MedFusion(nn.Module):
             use_fused_attention=cfg.vit_fused_attention,
             use_fused_mlp=cfg.use_fused_mlp,
             use_fused_ln=cfg.use_fused_ln,
+            use_fused_block_attention=cfg.use_fused_block_attention,
             name="transformer_3d",
         )(oct_vol, deterministic=not train)
 

@@ -118,11 +118,14 @@ class WindowAttention(nn.Module):
         # (n^2=20736 rows -> 529 table slots), traced at ~0.3 ms/step PER
         # BLOCK; the matmul transpose-backward runs on the MXU and the
         # one-hot literal is shared across blocks by XLA constant CSE.
+        # One-hot/table operands follow self.dtype (not hard-coded bf16): in
+        # f32 mode the learned table and its gradient stay exact, matching
+        # the old gather path; the one-hot is exact in either dtype.
         onehot = np.zeros((n * n, table.shape[0]), np.float32)
         onehot[np.arange(n * n), idx.reshape(-1)] = 1.0
         bias = jax.lax.dot_general(
-            jnp.asarray(onehot, jnp.bfloat16),
-            table.astype(jnp.bfloat16),
+            jnp.asarray(onehot, self.dtype),
+            table.astype(self.dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(n, n, self.num_heads)
@@ -169,6 +172,7 @@ class SwinBlock(nn.Module):
     use_fused_attention: bool = False
     use_fused_mlp: bool = False
     use_fused_ln: bool = False
+    use_fused_block_attention: bool = False
 
     @nn.compact
     def __call__(self, xw, *, deterministic: bool = True):
@@ -181,6 +185,10 @@ class SwinBlock(nn.Module):
         """
         window = min(self.window, self.grid)
         shift = self.shift if window < self.grid else 0
+
+        if self.use_fused_block_attention:
+            xw = self._fused_sublayer(xw, window, shift)
+            return self._mlp_sublayer(xw, deterministic)
 
         shortcut = xw
         h = FusedLayerNorm(
@@ -213,7 +221,9 @@ class SwinBlock(nn.Module):
         if shift > 0:
             h = _shift_windows(h, window, self.grid, shift)
         xw = shortcut + h
+        return self._mlp_sublayer(xw, deterministic)
 
+    def _mlp_sublayer(self, xw, deterministic):
         h2 = FusedLayerNorm(
             dtype=self.dtype, use_fused=self.use_fused_ln, name="LayerNorm_1"
         )(xw)
@@ -225,6 +235,66 @@ class SwinBlock(nn.Module):
             use_fused=self.use_fused_mlp,
         )(h2, deterministic=deterministic)
         return xw + h2
+
+    def _fused_sublayer(self, xw, window, shift):
+        """v4 path: LN1 + qkv + window attention + proj + residual in ONE
+        Pallas kernel (kernels/block_attention.py).  LN and the residual are
+        per-token, so they commute with the shift permutation — shifted
+        blocks shift the RAW x first and unshift the sublayer output.
+        Params are declared flat here (this flag changes the param layout,
+        like use_fused_mlp does)."""
+        from edrl_tpu.kernels.block_attention import attention_sublayer_fused
+
+        n = window * window
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+        table = self.param(
+            "rel_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * window - 1) ** 2, self.num_heads),
+        )
+        idx = _relative_position_index(window)
+        onehot = np.zeros((n * n, table.shape[0]), np.float32)
+        onehot[np.arange(n * n), idx.reshape(-1)] = 1.0
+        bias = jax.lax.dot_general(
+            jnp.asarray(onehot, self.dtype),
+            table.astype(self.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(n, n, self.num_heads).transpose(2, 0, 1)  # [H, N, N] f32
+
+        if shift > 0:
+            xin = _shift_windows(xw, window, self.grid, -shift)
+            mask = _shift_attn_mask(self.grid, window, shift)
+            bias_full = bias[None] + jnp.asarray(mask)[:, None]  # [W, H, N, N]
+        else:
+            xin = xw
+            bias_full = bias[None]  # [1, H, N, N] — no broadcast materialized
+
+        init = nn.initializers.lecun_normal()
+        gamma = self.param("ln1_scale", nn.initializers.ones, (self.dim,))
+        beta = self.param("ln1_bias", nn.initializers.zeros, (self.dim,))
+        wqkv = self.param("qkv_kernel", init, (self.dim, 3 * self.dim))
+        bqkv = self.param("qkv_bias", nn.initializers.zeros, (3 * self.dim,))
+        wproj = self.param("proj_kernel", init, (self.dim, self.dim))
+        bproj = self.param("proj_bias", nn.initializers.zeros, (self.dim,))
+        interpret = jax.default_backend() == "cpu"
+        y = attention_sublayer_fused(
+            xin.astype(self.dtype),
+            gamma,
+            beta,
+            wqkv.astype(self.dtype),
+            bqkv,
+            wproj.astype(self.dtype),
+            bproj,
+            bias_full.astype(jnp.float32),
+            self.num_heads,
+            scale,
+            interpret,
+        )
+        if shift > 0:
+            y = _shift_windows(y, window, self.grid, shift)
+        return y
 
 
 class PatchMerging(nn.Module):
@@ -270,6 +340,7 @@ class SwinTransformer2D(nn.Module):
     use_fused_attention: bool = False
     use_fused_mlp: bool = False
     use_fused_ln: bool = False
+    use_fused_block_attention: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True) -> Tuple[jax.Array, jax.Array]:
@@ -312,6 +383,7 @@ class SwinTransformer2D(nn.Module):
                     use_fused_attention=self.use_fused_attention,
                     use_fused_mlp=self.use_fused_mlp,
                     use_fused_ln=self.use_fused_ln,
+                    use_fused_block_attention=self.use_fused_block_attention,
                 )(xw, deterministic=deterministic)
             x = window_merge(xw, window, grid, grid)
             if stage != len(self.depths) - 1:

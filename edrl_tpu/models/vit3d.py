@@ -44,6 +44,7 @@ class ViT3D(nn.Module):
     use_fused_attention: bool = False
     use_fused_mlp: bool = False
     use_fused_ln: bool = False
+    use_fused_block_attention: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True) -> Tuple[jax.Array, jax.Array]:
@@ -82,6 +83,7 @@ class ViT3D(nn.Module):
                 use_fused_attention=self.use_fused_attention,
                 use_fused_mlp=self.use_fused_mlp,
                 use_fused_ln=self.use_fused_ln,
+                use_fused_block_attention=self.use_fused_block_attention,
                 dtype=self.dtype,
             )(x, deterministic=deterministic)
 

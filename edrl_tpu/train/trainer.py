@@ -330,6 +330,49 @@ def _stack_batches(batches):
     }
 
 
+_PALLAS_MODEL_FLAGS = (
+    "use_fused_attention",
+    "vit_fused_attention",
+    "use_fused_mlp",
+    "use_fused_ln",
+    "use_fused_block_attention",
+)
+
+
+def _gate_pallas_under_mesh(cfg: EDRLConfig, mesh, verbose: bool) -> EDRLConfig:
+    """Disable Pallas-kernel paths when training over a multi-device mesh.
+
+    ``pallas_call`` inside plain jit-over-Mesh is not SPMD-partitionable
+    (it would need a shard_map wrapper); silently running it could force
+    replication or fail at lowering.  The XLA paths are numerically
+    equivalent and fully partitionable, so a mesh run falls back to them
+    with a note rather than surprising the user mid-compile.
+    """
+    if mesh is None or mesh.devices.size <= 1:
+        return cfg
+    on = [f for f in _PALLAS_MODEL_FLAGS if getattr(cfg.model, f)]
+    if cfg.train.use_pallas_mmd:
+        cfg = cfg.replace(
+            train=dataclasses.replace(cfg.train, use_pallas_mmd=False)
+        )
+        on.append("use_pallas_mmd")
+    if not on:
+        return cfg
+    if any(f != "use_pallas_mmd" for f in on):
+        cfg = cfg.replace(
+            model=dataclasses.replace(
+                cfg.model,
+                **{f: False for f in _PALLAS_MODEL_FLAGS},
+            )
+        )
+    if verbose:
+        print(
+            f"[mesh] disabling Pallas kernel paths {on} — multi-device SPMD "
+            "uses the partitionable XLA paths"
+        )
+    return cfg
+
+
 @dataclasses.dataclass
 class FitResult:
     train_history: list
@@ -396,6 +439,7 @@ def fit(
 ) -> Tuple[TrainState, FitResult]:
     """The train&test loop (``fusion_train.py:754-772``): per-epoch train,
     val on the low-noise view, best-accuracy checkpointing, CSV logging."""
+    cfg = _gate_pallas_under_mesh(cfg, mesh, verbose)
     model = make_model(cfg)
     tx = make_optimizer(cfg)
     if state is None:

@@ -129,6 +129,32 @@ class TestModuleIntegration:
             np.asarray(out_f), np.asarray(out_l), atol=1e-5, rtol=1e-5
         )
 
+    def test_bf16_default_path_matches_flax_bf16(self, rng):
+        """FusedLayerNorm(use_fused=False, dtype=bf16) vs nn.LayerNorm
+        (dtype=bf16): the repo path applies scale/bias in f32 and casts
+        once, flax applies them in bf16 — a deliberate (slightly more
+        precise) choice; this pins the divergence to bf16 rounding order
+        (ADVICE r2 #3)."""
+        from edrl_tpu.models.layers import FusedLayerNorm
+
+        x = jnp.asarray(
+            rng.normal(size=(4, 24, 64)).astype(np.float32), jnp.bfloat16
+        )
+        params = nn.LayerNorm(epsilon=1e-6, dtype=jnp.bfloat16).init(
+            jax.random.key(0), x
+        )
+        want = nn.LayerNorm(epsilon=1e-6, dtype=jnp.bfloat16).apply(params, x)
+        got = FusedLayerNorm(use_fused=False, dtype=jnp.bfloat16).apply(
+            params, x
+        )
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(want, np.float32),
+            atol=2e-2,  # one bf16 ulp of the scale/bias application order
+            rtol=2e-2,
+        )
+
     def test_non_128_feature_dim_falls_back(self, rng):
         """c % 128 != 0 must take the XLA path (no pallas lane padding)."""
         from edrl_tpu.models.layers import FusedLayerNorm

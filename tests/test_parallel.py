@@ -250,6 +250,25 @@ class TestScannedMeshEpoch:
             drift = float(np.linalg.norm(a - b))
             assert drift < 5 * lr_steps, drift
 
+    def test_pallas_flags_gated_under_mesh(self, mesh):
+        """Pallas kernel paths are not SPMD-partitionable under plain
+        jit-over-Mesh — fit() falls back to the XLA paths (ADVICE r2 #4)."""
+        import dataclasses
+
+        from edrl_tpu.train.trainer import _gate_pallas_under_mesh
+
+        cfg = tiny_test_config(batch_size=8)
+        cfg = cfg.replace(
+            model=dataclasses.replace(
+                cfg.model, use_fused_ln=True, use_fused_attention=True
+            )
+        )
+        gated = _gate_pallas_under_mesh(cfg, mesh, verbose=False)
+        assert not gated.model.use_fused_ln
+        assert not gated.model.use_fused_attention
+        # No mesh (or 1-device) leaves the flags alone.
+        assert _gate_pallas_under_mesh(cfg, None, False).model.use_fused_ln
+
     def test_fit_runs_scanned_under_mesh(self, mesh):
         """End-to-end wiring: fit() with a mesh AND scan_batches>1 takes the
         scanned path (previously force-disabled) and trains to finite loss."""
