@@ -197,6 +197,15 @@ class TrainConfig:
     use_plateau_schedule: bool = False
     plateau_factor: float = 0.1
     plateau_patience: int = 10
+    # What the plateau tracker watches.  "loss" mirrors the reference's
+    # ReduceLROnPlateau(mode=min) construction, but note the eval loss is
+    # dominated by the 0.8-weighted proxy term exp(-pos+neg)
+    # (``fusion_net.py:870-879``; magnitudes ~60 vs CE ~0.7), so a
+    # loss-driven schedule follows proxy geometry, not CE.  The reference
+    # never stepped its scheduler and so never faced this interaction;
+    # "accuracy" (mode=max on val accuracy) is the recommended setting when
+    # the schedule is actually used.
+    plateau_metric: str = "loss"  # "loss" | "accuracy"
     # Parallelism.
     data_axis: str = "data"
     model_axis: str = "model"

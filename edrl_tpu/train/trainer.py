@@ -571,7 +571,15 @@ def fit(
         ):
             checkpoint_manager.save(state, name=f"epoch_{epoch}")
         if plateau is not None:
-            new_lr = plateau.step(vm.loss)
+            # "accuracy" negates so the min-mode tracker maximizes it (see
+            # plateau_metric in config.py: the eval loss is dominated by the
+            # 0.8-weighted proxy term, not CE).
+            signal = (
+                -vm.accuracy
+                if cfg.train.plateau_metric == "accuracy"
+                else vm.loss
+            )
+            new_lr = plateau.step(signal)
             if new_lr is not None:
                 state = set_learning_rate(state, new_lr)
                 if verbose:

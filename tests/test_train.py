@@ -208,6 +208,27 @@ class TestPallasMMDInTrainStep:
         assert float(out1["mmd"]) == pytest.approx(float(out0["mmd"]), rel=1e-3)
 
 
+class TestPlateauSchedule:
+    def test_tracker_reduces_after_patience(self):
+        from edrl_tpu.train.trainer import PlateauTracker
+
+        t = PlateauTracker(lr=1e-3, factor=0.1, patience=2)
+        assert t.step(1.0) is None  # first value = improvement
+        assert t.step(1.0) is None  # bad 1
+        assert t.step(1.0) is None  # bad 2 (== patience)
+        assert t.step(1.0) == pytest.approx(1e-4)  # bad 3 -> reduce
+        assert t.step(0.5) is None  # improvement resets
+
+    def test_set_learning_rate_mutates_opt_state(self, cfg):
+        from edrl_tpu.train.trainer import init_state, set_learning_rate
+
+        _, state = init_state(cfg, 0)
+        state = set_learning_rate(state, 5e-5)
+        assert float(state.opt_state[1].hyperparams["learning_rate"]) == (
+            pytest.approx(5e-5)
+        )
+
+
 class TestObservabilityWiring:
     """fit() actually emits the reference's observability artifacts
     (VERDICT r2 missing #1): end-of-run loss/acc curve jpgs
