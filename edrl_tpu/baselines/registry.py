@@ -56,6 +56,7 @@ def _swin_kwargs(cfg: EDRLConfig) -> dict:
         use_fused_attention=m.use_fused_attention,
         use_fused_mlp=m.use_fused_mlp,
         use_fused_ln=m.use_fused_ln,
+        use_fused_block_attention=m.use_fused_block_attention,
     )
 
 
@@ -71,6 +72,7 @@ def _vit_kwargs(cfg: EDRLConfig) -> dict:
         use_fused_attention=m.vit_fused_attention,
         use_fused_mlp=m.use_fused_mlp,
         use_fused_ln=m.use_fused_ln,
+        use_fused_block_attention=m.use_fused_block_attention,
     )
 
 

@@ -347,6 +347,11 @@ def _gate_pallas_under_mesh(cfg: EDRLConfig, mesh, verbose: bool) -> EDRLConfig:
     replication or fail at lowering.  The XLA paths are numerically
     equivalent and fully partitionable, so a mesh run falls back to them
     with a note rather than surprising the user mid-compile.
+
+    Note: ``use_fused_mlp``/``use_fused_block_attention`` change the param
+    LAYOUT, so a state initialized with them on cannot be resumed under a
+    mesh — start mesh runs with those flags off (the gate only protects
+    fresh fits, where init happens after gating).
     """
     if mesh is None or mesh.devices.size <= 1:
         return cfg
