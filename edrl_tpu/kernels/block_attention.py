@@ -94,8 +94,9 @@ def _block_attn_fwd_kernel(
 
 def _bb_for(b: int, c: int) -> int:
     """Batch block: weights are grid-resident, so bb only amortizes
-    per-program overhead; keep VMEM in budget at large C."""
-    cap = 8 if c <= 256 else 2
+    per-program overhead; keep VMEM in budget at large C (the resident
+    wqkv+wproj alone are 16*C^2 bytes bf16 — 8.3 MB at C=1024)."""
+    cap = 8 if c <= 256 else (2 if c <= 768 else 1)
     for bb in (cap, 4, 2):
         if bb <= cap and b % bb == 0:
             return bb
