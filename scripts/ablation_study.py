@@ -115,10 +115,12 @@ def protocol_of(args) -> dict:
 
 def run_variant(name: str, seed: int, cfg: EDRLConfig, args):
     vcfg = variant(cfg, name)
-    # Seed threads through everything stochastic: the synthetic data draw
-    # (data.seed), init/noise/dropout PRNG (train.seed), and the shuffle
-    # order — so seed-to-seed spread includes dataset-resample variance.
-    # All three are runtime inputs, so seeds reuse the compiled programs.
+    # Seed threads through everything stochastic in TRAINING: init/noise/
+    # dropout PRNG (train.seed), per-sample host-noise keys (data.seed) and
+    # the shuffle order.  The synthetic dataset itself is deterministic per
+    # index (fixed protocol instantiation), so every variant and seed trains
+    # on identical data — the spread measures run-to-run training variance.
+    # All seeds are runtime inputs, so they reuse the compiled programs.
     vcfg = vcfg.replace(
         data=dataclasses.replace(vcfg.data, seed=11 + 101 * seed),
         train=dataclasses.replace(vcfg.train, seed=seed),
@@ -185,10 +187,12 @@ def to_markdown(rows, sigmas, variants=VARIANTS) -> str:
         "signal-dropout 0.3, distractors; dual-view training with "
         "gaussian_high=0.5).  Cells are `accuracy/AUC` of the final-epoch "
         "state on the sigma-corrupted low view, mean±std over seeds "
-        f"{seeds_seen} (each seed resamples the dataset, the init PRNG and "
-        "the shuffle order).  AUC is the headline: the hard protocol drives "
-        "some variants to a degenerate argmax while their ranking stays "
-        "informative.",
+        f"{seeds_seen}.  Seeds vary the init PRNG, shuffle order and the "
+        "device noise/augmentation draws; the dataset itself is a fixed "
+        "instantiation of the protocol (deterministic per-index draw), so "
+        "every variant and seed sees identical data.  AUC is the headline: "
+        "the hard protocol drives some variants to a degenerate argmax "
+        "while their ranking stays informative.",
         "",
     ]
     for metric in ("accuracy", "auc"):
