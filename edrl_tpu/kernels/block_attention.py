@@ -38,8 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from edrl_tpu.kernels.window_attention import (
-    _bwd_call as _v2_bwd_call,
-    _fwd_call as _v2_fwd_call,
+    _v2_bwd as _v2_attn_bwd,
+    _v2_fwd_call as _v2_attn_fwd,
 )
 
 _LN_EPS = 1e-6
@@ -202,42 +202,26 @@ def _v4_fwd(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
     return y, (x, xln, qkv, gamma, wqkv, wproj, bias)
 
 
-def _split_heads(t, num_heads):
-    """[B, W, N, C] -> [B, W, H, N, D] for the v2 kernel layout."""
-    b, w, n, c = t.shape
-    d = c // num_heads
-    return t.reshape(b, w, n, num_heads, d).transpose(0, 1, 3, 2, 4)
-
-
-def _merge_heads(t):
-    b, w, h, n, d = t.shape
-    return t.transpose(0, 1, 3, 2, 4).reshape(b, w, n, h * d)
-
-
 def _v4_bwd(num_heads, scale, interpret, res, dy):
     """Backward = existing v2 attention kernels + large XLA matmuls.
 
     The weight grads are single big contractions over the whole (B, W, N)
     batch — exactly the shapes XLA runs at 73% of peak — instead of
-    per-program accumulations (the fused-MLP failure mode)."""
+    per-program accumulations (the fused-MLP failure mode).  The v2 entry
+    points are the transpose-free column-block flavor, so the backward adds
+    zero head-split layout copies."""
     x, xln, qkv, gamma, wqkv, wproj, bias = res
     B, W, N, C = x.shape
     H = num_heads
-    d = C // H
     f32 = jnp.float32
     dy32 = dy.astype(f32)
 
     # Broadcast bias to the v2 kernels' [W, H, N, N] contract.
     bias_full = jnp.broadcast_to(bias, (W, H, N, N)) if bias.shape[0] == 1 else bias
 
-    # q is pre-scaled for the v2 kernel (its backward multiplies dq back).
-    q, k, v = (
-        _split_heads(qkv[..., :C], H) * jnp.asarray(scale, qkv.dtype),
-        _split_heads(qkv[..., C:2 * C], H),
-        _split_heads(qkv[..., 2 * C:], H),
-    )
-    # Recompute the attention output (never materialized in the forward).
-    o = _merge_heads(_v2_fwd_call(q, k, v, bias_full, interpret))
+    # Recompute the attention output (never materialized in the forward);
+    # the v2 kernel reads per-head column blocks straight from qkv.
+    o = _v2_attn_fwd(qkv, bias_full, H, scale, interpret)  # [B, W, N, C]
 
     dwproj = jnp.einsum(
         "bwnc,bwnk->ck", o.astype(f32), dy32, preferred_element_type=f32
@@ -247,18 +231,8 @@ def _v4_bwd(num_heads, scale, interpret, res, dy):
         "bwnk,ck->bwnc", dy, wproj, preferred_element_type=f32
     ).astype(dy.dtype)
 
-    dq, dk, dv, dbias = _v2_bwd_call(
-        q, k, v, bias_full, _split_heads(do, H), interpret
-    )
-    # Undo the q pre-scale (the kernel's dq is w.r.t. the scaled q).
-    dqkv = jnp.concatenate(
-        [
-            _merge_heads(dq).astype(f32) * scale,
-            _merge_heads(dk).astype(f32),
-            _merge_heads(dv).astype(f32),
-        ],
-        axis=-1,
-    )  # [B, W, N, 3C] f32
+    dqkv, dbias = _v2_attn_bwd(H, scale, interpret, (qkv, bias_full), do)
+    dqkv = dqkv.astype(f32)  # [B, W, N, 3C]
 
     dwqkv = jnp.einsum(
         "bwnc,bwnk->ck", xln.astype(f32), dqkv, preferred_element_type=f32
