@@ -127,6 +127,13 @@ class ModelConfig:
     # Backward composes the v2 kernels with large XLA matmuls for the
     # weight grads.  Takes precedence over use_fused_attention /
     # vit_fused_attention on both backbones when on.
+    # MEASURED NEGATIVE on v5e-1 (2026-08-17, batch 16): 150.4 vs 155.1
+    # pairs/s full step.  Isolation: ViT-3D wins (14.8 vs 15.5 ms fwd+bwd,
+    # C=768), Swin loses slightly (34.9 vs 34.3 ms — stages 0/1 have C=128/
+    # 256, too small for resident-weight blocking); composed, the sublayer
+    # custom-calls cost 15.0 ms/step vs 10.8 ms attention-only because XLA
+    # was already folding LN/qkv/proj into its own dense fusions (trace +
+    # breakdown in BASELINE.md negatives table).  Keep off.
     use_fused_block_attention: bool = False
     # Fused self-attention on the 3-D ViT trunk (transpose-free v3 kernel).
     # With the head_dim-128 layout above each program's matmuls fill the MXU.

@@ -1,46 +1,40 @@
-"""Measure the v4 fused attention-sublayer kernel against the v2 baseline.
+"""One-off: measure the v4 fused attention-sublayer kernel vs the default path.
 
-Runs the full-size dual-view train step (the bench.py program) in both
-configurations on the TPU and prints a comparison line per point.  Run ONLY
-when the TPU is free (one process at a time):
-
-    python scripts/bench_v4.py            # batch 16 + 32
-    python scripts/bench_v4.py --batches 16
+VERDICT round-2 item 2 (math-level fusion: LN/residual/qkv/proj folded into
+the attention kernel, `kernels/block_attention.py`) demands a measured
+number either way.  Runs the flagship dual-view train step at batch 16
+with and without `use_fused_block_attention` and prints one JSON line per
+config.  Results land in BASELINE.md's history / negatives table.
 """
 
-from __future__ import annotations
-
-import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from bench import bench_train_step  # noqa: E402  (sets compile cache)
+from bench import bench_train_step, bench_infer_step  # noqa: E402  (sets cache dirs)
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--batches", type=int, nargs="+", default=[16, 32])
-    p.add_argument("--steps", type=int, default=20)
-    args = p.parse_args(argv)
-    results = {}
-    for b in args.batches:
-        for name, kwargs in (
-            ("v2 (fused attention cores)", {}),
-            (
-                "v4 (fused attention sublayer)",
-                {"use_fused_block_attention": True},
+def main():
+    configs = [
+        ("default", {}),
+        ("v4_fused_block_attention", {"use_fused_block_attention": True}),
+    ]
+    for name, kw in configs:
+        t0 = time.time()
+        pairs = bench_train_step(**kw)
+        print(
+            json.dumps(
+                {
+                    "config": name,
+                    "train_pairs_per_sec": round(pairs, 2),
+                    "wall_s": round(time.time() - t0, 1),
+                }
             ),
-        ):
-            pps = bench_train_step(batch_size=b, steps=args.steps, **kwargs)
-            results[f"b{b} {name}"] = round(pps, 1)
-            print(
-                json.dumps({"batch": b, "config": name, "pairs_per_sec": round(pps, 2)}),
-                flush=True,
-            )
-    print(json.dumps(results))
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -4,7 +4,8 @@ Profiles N train steps, then parses the perfetto trace proto (no
 tensorboard needed) and aggregates device-op durations by HLO category —
 the ground truth for where step time goes.
 
-    python scripts/trace_breakdown.py            # full train step, batch 16
+    python scripts/trace_breakdown.py                 # full train step, batch 16
+    python scripts/trace_breakdown.py --fused_block   # v4 attention-sublayer path
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 TRACE_DIR = "/tmp/edrl_trace"
 
 
-def run_profiled_steps(batch_size=16, steps=5):
+def run_profiled_steps(batch_size=16, steps=5, **model_kwargs):
     from bench import make_batch
     from edrl_tpu.config import DataConfig, EDRLConfig, ModelConfig, TrainConfig
     from edrl_tpu.train.trainer import (
@@ -42,7 +43,7 @@ def run_profiled_steps(batch_size=16, steps=5):
 
     cfg = EDRLConfig(
         data=DataConfig(batch_size=batch_size),
-        model=ModelConfig(use_bfloat16=True),
+        model=ModelConfig(use_bfloat16=True, **model_kwargs),
         train=TrainConfig(),
     )
     _, state = init_state(cfg, 0)
@@ -121,5 +122,8 @@ def parse_trace(steps: int):
 
 
 if __name__ == "__main__":
-    steps = run_profiled_steps()
+    kwargs = {}
+    if "--fused_block" in sys.argv:
+        kwargs["use_fused_block_attention"] = True
+    steps = run_profiled_steps(**kwargs)
     parse_trace(steps)
