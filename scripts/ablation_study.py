@@ -288,6 +288,16 @@ def main(argv=None):
                 continue
             print(f"=== {name} s{seed} ===", flush=True)
             r = run_variant(name, seed, cfg, args)
+            # Host RSS grows ~30 GB per full-size run (retained traced/
+            # compiled artifacts + tunnel-side buffers); a 5-variant x 3-seed
+            # study OOM-killed a 128 GB host mid-study.  Drop every cache
+            # between runs — and prefer one (variant, seed) per process via
+            # --variants/--seeds when driving long studies (the .jsonl resume
+            # makes per-run subprocesses free).
+            jax.clear_caches()
+            import gc
+
+            gc.collect()
             rows.append(r)
             with open(jsonl, "a") as f:
                 f.write(json.dumps(r, default=float) + "\n")

@@ -1,0 +1,17 @@
+#!/bin/bash
+# Drive the ablation study one (variant, seed) per PROCESS: a single-process
+# multi-run study leaks ~30 GB host RSS per full-size run (OOM-killed at
+# 128 GB mid-study on 2026-08-17).  Each invocation resumes from the .jsonl
+# (finished runs skip instantly) and re-renders ABLATION.md, so this loop is
+# idempotent and restart-safe.
+set -u
+cd "$(dirname "$0")/.."
+EPOCHS="${EPOCHS:-25}"
+for seed in 0 1 2; do
+  for v in "MedFusion (full EDRL)" "MedFusion -MMD" "MedFusion -EPRL" \
+           "MedFusion -DILR" "Multi_ResNet (late fusion)"; do
+    echo "--- driving: $v s$seed ---"
+    timeout 5400 python scripts/ablation_study.py \
+      --epochs "$EPOCHS" --seeds "$seed" --variants "$v" || exit 1
+  done
+done
