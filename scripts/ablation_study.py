@@ -179,6 +179,14 @@ def to_markdown(rows, sigmas, variants=VARIANTS) -> str:
     by_name = {}
     for r in rows:
         by_name.setdefault(r["name"], []).append(r)
+    # Render every variant present in the rows (canonical order first), not
+    # just the ones selected for *running* this invocation: the per-process
+    # driver passes a single --variants value, and rendering only that one
+    # used to clobber ABLATION.md down to a one-row table.
+    order = [n for n in VARIANTS if n in by_name]
+    order += [n for n in variants if n in by_name and n not in order]
+    order += [n for n in by_name if n not in order]
+    variants = tuple(order)
     seeds_seen = sorted({r.get("seed", 0) for r in rows})
     lines = [
         "# Hard-synthetic ablation study",
