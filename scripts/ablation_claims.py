@@ -1,0 +1,139 @@
+"""Recompute the ABLATION_ANALYSIS.md headline claims from the raw records.
+
+Each claim in the analysis write-up is a statement about specific cells of
+the sigma x modality grid; this tool aggregates ABLATION.md.jsonl over all
+recorded seeds (mean±std) and prints every claim with its supporting
+numbers, flagging any claim the aggregate no longer supports.  Run it after
+each seed pass so the prose in ABLATION_ANALYSIS.md never drifts from the
+data (VERDICT r2 item 1: headline claims must survive an adversarial read).
+
+    python scripts/ablation_claims.py [--jsonl ABLATION.md.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+FULL = "MedFusion (full EDRL)"
+NOMMD = "MedFusion -MMD"
+NOEPRL = "MedFusion -EPRL"
+NODILR = "MedFusion -DILR"
+LATE = "Multi_ResNet (late fusion)"
+
+
+def load(path):
+    by = {}
+    for line in open(path):
+        r = json.loads(line)
+        r["sweep"] = {
+            m: {float(s): v for s, v in cells.items()}
+            for m, cells in r["sweep"].items()
+        }
+        by.setdefault(r["name"], []).append(r)
+    return by
+
+
+def agg(by, name, field):
+    """field: callable(record) -> float; returns (mean, std, n)."""
+    vals = np.asarray([field(r) for r in by[name]], dtype=float)
+    return vals.mean(), (vals.std(ddof=1) if vals.size > 1 else 0.0), vals.size
+
+
+def cell(m, s, metric):
+    return lambda r: r["sweep"][m][s][metric]
+
+
+def fmt(t):
+    mean, std, n = t
+    return f"{mean:.3f}±{std:.3f}(n={n})" if n > 1 else f"{mean:.3f}(n=1)"
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--jsonl", default="ABLATION.md.jsonl")
+    args = p.parse_args(argv)
+    by = load(args.jsonl)
+    print("records:", {k: len(v) for k, v in by.items()})
+    checks = []
+
+    def claim(label, ok, detail):
+        checks.append((label, ok, detail))
+
+    # 1. MK-MMD = noise robustness: full EDRL both-modality accuracy holds
+    #    sigma 0 -> 0.5 while -MMD collapses.
+    f0 = agg(by, FULL, cell("both", 0.0, "accuracy"))
+    f5 = agg(by, FULL, cell("both", 0.5, "accuracy"))
+    m0 = agg(by, NOMMD, cell("both", 0.0, "accuracy"))
+    m5 = agg(by, NOMMD, cell("both", 0.5, "accuracy"))
+    claim(
+        "MMD robustness: full acc holds under sigma, -MMD drops",
+        (f5[0] >= f0[0] - 0.05) and (m5[0] < m0[0] - 0.10),
+        f"full {fmt(f0)}->{fmt(f5)}  -MMD {fmt(m0)}->{fmt(m5)}",
+    )
+
+    # 2. EPRL = per-modality discriminability (single-modality AUC).
+    for mod in ("fundus-only", "oct-only"):
+        fa = agg(by, FULL, cell(mod, 0.0, "auc"))
+        ea = agg(by, NOEPRL, cell(mod, 0.0, "auc"))
+        claim(
+            f"EPRL keeps {mod} AUC above -EPRL",
+            fa[0] > ea[0],
+            f"full {fmt(fa)} vs -EPRL {fmt(ea)}",
+        )
+
+    # 3. DILR = the fundus pathway (fundus-only AUC drops without it).
+    fa = agg(by, FULL, cell("fundus-only", 0.0, "auc"))
+    da = agg(by, NODILR, cell("fundus-only", 0.0, "auc"))
+    claim(
+        "DILR keeps fundus-only AUC above -DILR",
+        fa[0] > da[0],
+        f"full {fmt(fa)} vs -DILR {fmt(da)}",
+    )
+
+    # 4. Late fusion: fundus pathway at/below chance; both == oct-only.
+    lf = agg(by, LATE, cell("fundus-only", 0.0, "auc"))
+    lb = agg(by, LATE, cell("both", 0.0, "auc"))
+    lo = agg(by, LATE, cell("oct-only", 0.0, "auc"))
+    claim(
+        "late fusion fundus-only AUC ~ chance",
+        lf[0] < 0.60,
+        f"Multi_ResNet fundus-only {fmt(lf)}",
+    )
+    claim(
+        "late fusion both ~ oct-only (single-modality model in disguise)",
+        abs(lb[0] - lo[0]) < 0.05,
+        f"both {fmt(lb)} vs oct-only {fmt(lo)}",
+    )
+
+    # 5. Memorization: late fusion final train loss << full EDRL's.
+    lt = agg(by, LATE, lambda r: r["final_train_loss"])
+    ft = agg(by, FULL, lambda r: r["final_train_loss"])
+    claim(
+        "late fusion memorizes (train loss << full EDRL)",
+        lt[0] < ft[0] / 3,
+        f"Multi_ResNet {fmt(lt)} vs full {fmt(ft)}",
+    )
+
+    # 6. The unfavorable cells, restated from the aggregate (no pass/fail —
+    #    these exist so the write-up quotes them, not hides them).
+    for name in (FULL, NOMMD, NOEPRL, NODILR, LATE):
+        if name in by:
+            va = agg(by, name, lambda r: r["best_val_acc"])
+            print(f"val_acc {name:<28} {fmt(va)}")
+
+    print()
+    bad = 0
+    for label, ok, detail in checks:
+        print(f"[{'OK ' if ok else 'FAIL'}] {label}\n       {detail}")
+        bad += 0 if ok else 1
+    print(f"\n{len(checks) - bad}/{len(checks)} claims supported by the aggregate")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
