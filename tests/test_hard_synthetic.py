@@ -126,6 +126,7 @@ class TestMmdWeightAblation:
             lr = 1e-4
             fundus_size = 64
             oct_size = 32
+            scan_batches = 0
 
         cfg = base_config(A)
         v = {name: variant(cfg, name) for name in VARIANTS}
