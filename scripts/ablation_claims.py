@@ -42,6 +42,24 @@ def agg(by, name, field):
     return vals.mean(), (vals.std(ddof=1) if vals.size > 1 else 0.0), vals.size
 
 
+def paired(by, name_a, name_b, field_a, field_b=None):
+    """Per-seed paired comparison: how many seeds have a > b?
+
+    Variants at the same seed share the shuffle/init/noise PRNG streams, so
+    the per-seed sign is a matched comparison — much tighter than comparing
+    means when run-to-run training variance is large.  Returns
+    (wins, total, per_seed_deltas_str).
+    """
+    field_b = field_b or field_a
+    a_by_seed = {r["seed"]: field_a(r) for r in by[name_a]}
+    b_by_seed = {r["seed"]: field_b(r) for r in by[name_b]}
+    seeds = sorted(set(a_by_seed) & set(b_by_seed))
+    deltas = [(s, a_by_seed[s] - b_by_seed[s]) for s in seeds]
+    wins = sum(1 for _, d in deltas if d > 0)
+    detail = " ".join(f"s{s}:{d:+.3f}" for s, d in deltas)
+    return wins, len(seeds), detail
+
+
 def cell(m, s, metric):
     return lambda r: r["sweep"][m][s][metric]
 
@@ -123,6 +141,25 @@ def main(argv=None):
         if name in by:
             va = agg(by, name, lambda r: r["best_val_acc"])
             print(f"val_acc {name:<28} {fmt(va)}")
+
+    # Paired per-seed directions (matched PRNG streams per seed).
+    print("\nPaired per-seed directions (wins/seeds, per-seed deltas):")
+    pairs = [
+        ("full sigma-0.5 both acc > -MMD", FULL, NOMMD,
+         cell("both", 0.5, "accuracy")),
+        ("full fundus-only AUC > -EPRL", FULL, NOEPRL,
+         cell("fundus-only", 0.0, "auc")),
+        ("full oct-only AUC > -EPRL", FULL, NOEPRL,
+         cell("oct-only", 0.0, "auc")),
+        ("full fundus-only AUC > -DILR", FULL, NODILR,
+         cell("fundus-only", 0.0, "auc")),
+        ("full both-AUC retention sigma 0->0.5 > -MMD", FULL, NOMMD,
+         lambda r: r["sweep"]["both"][0.5]["auc"]
+         - r["sweep"]["both"][0.0]["auc"]),
+    ]
+    for label, a, b, f in pairs:
+        wins, n, detail = paired(by, a, b, f)
+        print(f"  {wins}/{n}  {label}   [{detail}]")
 
     print()
     bad = 0
