@@ -7,7 +7,8 @@
 set -u
 cd "$(dirname "$0")/.."
 EPOCHS="${EPOCHS:-25}"
-for seed in 0 1 2; do
+SEEDS="${SEEDS:-0 1 2}"
+for seed in $SEEDS; do
   for v in "MedFusion (full EDRL)" "MedFusion -MMD" "MedFusion -EPRL" \
            "MedFusion -DILR" "Multi_ResNet (late fusion)"; do
     echo "--- driving: $v s$seed ---"
