@@ -224,6 +224,25 @@ def to_markdown(rows, sigmas, variants=VARIANTS) -> str:
                     )
             lines.append(row)
         lines.append("")
+    # Per-seed appendix: run-to-run training variance is large at this
+    # step budget (~400 Adam steps/run), so the per-seed numbers matter as
+    # much as the aggregate — scripts/ablation_claims.py computes paired
+    # per-seed directions from the same records.
+    lines += ["## Per-seed best val accuracy", ""]
+    header = "| model |" + "".join(f" s{s} |" for s in seeds_seen)
+    lines += [header, "|---|" + "---|" * len(seeds_seen)]
+    for name in variants:
+        group = by_name.get(name)
+        if not group:
+            continue
+        acc_by_seed = {g.get("seed", 0): g["best_val_acc"] for g in group}
+        row = f"| {name} |"
+        for s in seeds_seen:
+            row += (
+                f" {acc_by_seed[s]:.3f} |" if s in acc_by_seed else " — |"
+            )
+        lines.append(row)
+    lines.append("")
     per_run = ", ".join(
         f"{r['name']}[s{r.get('seed', 0)}]={r['train_time_s']}" for r in rows
     )
