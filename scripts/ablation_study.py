@@ -250,6 +250,27 @@ def to_markdown(rows, sigmas, variants=VARIANTS) -> str:
         f"Generated by scripts/ablation_study.py; train_time_s: {per_run}",
         "",
     ]
+    # Live claim check: recompute the analysis claims from these rows so
+    # the committed table always carries the paired-seed evidence in sync
+    # with the data (scripts/ablation_claims.py).
+    try:
+        import contextlib
+        import io
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import ablation_claims
+
+        buf = io.StringIO()
+        tmp = "/tmp/_ablation_rows.jsonl"
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r, default=float) + "\n")
+        with contextlib.redirect_stdout(buf):
+            ablation_claims.main(["--jsonl", tmp])
+        lines += ["## Claim check (auto-generated)", "", "```",
+                  buf.getvalue().rstrip(), "```", ""]
+    except Exception as e:  # pragma: no cover - advisory section only
+        lines += [f"(claim check unavailable: {e})", ""]
     analysis = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "..", "ABLATION_ANALYSIS.md")
     if os.path.exists(analysis):
