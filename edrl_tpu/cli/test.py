@@ -21,6 +21,20 @@ def main(argv=None):
     parser = build_parser()
     parser.add_argument("--checkpoint", default="")
     parser.add_argument(
+        "--sweep",
+        choices=["gaussian", "salt_pepper", "all"],
+        default="",
+        help="run the noise x modality robustness grid after eval "
+        "(the reference's Condition_G/SP_Variance axes, fusion_train.py:548)",
+    )
+    parser.add_argument(
+        "--sweep_levels",
+        type=float,
+        nargs="+",
+        default=None,
+        help="corruption levels for --sweep (default: per-kind grid)",
+    )
+    parser.add_argument(
         "--mc_samples",
         type=int,
         default=0,
@@ -91,6 +105,27 @@ def main(argv=None):
     ):
         mm, _, _ = run_eval(state, eval_step, val_loader, modality_mask=mask)
         emit(f"Missing-modality [{label}]: Acc {mm.accuracy:.4f} AUC {mm.auc:.4f}")
+
+    if args.sweep:
+        from edrl_tpu.train.robustness import (
+            DEFAULT_SIGMAS,
+            DEFAULT_SP_LEVELS,
+            format_sweep,
+            noise_sweep,
+        )
+
+        kinds = (
+            ("gaussian", "salt_pepper") if args.sweep == "all"
+            else (args.sweep,)
+        )
+        for kind in kinds:
+            levels = tuple(
+                args.sweep_levels
+                or (DEFAULT_SIGMAS if kind == "gaussian" else DEFAULT_SP_LEVELS)
+            )
+            res = noise_sweep(cfg, state, sigmas=levels, kind=kind)
+            emit(f"Robustness sweep [{kind}]:")
+            emit(format_sweep(res))
 
 
 if __name__ == "__main__":

@@ -20,6 +20,9 @@ from edrl_tpu.data import BatchLoader
 from edrl_tpu.train.trainer import TrainState, make_eval_step, make_model, run_eval
 
 DEFAULT_SIGMAS = (0.0, 0.1, 0.2, 0.3, 0.4, 0.5)
+# SP fraction grid bracketing the reference default (0.005,
+# ``fusion_train.py:535``).
+DEFAULT_SP_LEVELS = (0.0, 0.001, 0.005, 0.01, 0.05)
 
 MODALITY_GRID = {
     "both": None,
@@ -28,15 +31,31 @@ MODALITY_GRID = {
 }
 
 
-def _cfg_for(cfg: EDRLConfig, sigma: float) -> EDRLConfig:
-    noise = dataclasses.replace(
-        cfg.data.noise, condition="noise", gaussian_low=sigma
-    )
+def _cfg_for(cfg: EDRLConfig, level: float, kind: str = "gaussian") -> EDRLConfig:
+    """Probe config for one corruption level.
+
+    ``kind`` selects the probe axis — "gaussian" (``--Condition_G_Variance``)
+    or "salt_pepper" (``--Condition_SP_Variance``, ``fusion_train.py:535``);
+    the probe sets ``condition_name`` explicitly so the sweep corrupts with
+    exactly one mechanism even if the model was trained under "All".
+    """
+    if kind == "gaussian":
+        noise = dataclasses.replace(
+            cfg.data.noise, condition="noise", condition_name="Gaussian",
+            gaussian_low=level,
+        )
+    elif kind == "salt_pepper":
+        noise = dataclasses.replace(
+            cfg.data.noise, condition="noise", condition_name="SaltPepper",
+            salt_pepper_low=level,
+        )
+    else:
+        raise ValueError(f"unknown probe kind: {kind!r}")
     return cfg.replace(data=dataclasses.replace(cfg.data, noise=noise))
 
 
-def _dataset_for(cfg: EDRLConfig, sigma: float):
-    data_cfg = _cfg_for(cfg, sigma).data
+def _dataset_for(cfg: EDRLConfig, sigma: float, kind: str = "gaussian"):
+    data_cfg = _cfg_for(cfg, sigma, kind).data
     if cfg.data.dataset in ("synthetic", "synthetic_hard"):
         from edrl_tpu.data import HardSyntheticGammaDataset, SyntheticGammaDataset
 
@@ -57,8 +76,12 @@ def noise_sweep(
     sigmas: Sequence[float] = DEFAULT_SIGMAS,
     modalities: Optional[Sequence[str]] = None,
     mesh=None,
+    kind: str = "gaussian",
 ) -> Dict[str, Dict[float, dict]]:
-    """Returns {modality: {sigma: EpochMetrics-as-dict}}."""
+    """Returns {modality: {level: EpochMetrics-as-dict}}.
+
+    ``kind``: "gaussian" sweeps sigma; "salt_pepper" sweeps the corrupted-
+    pixel fraction (reference SP levels are ~0.001-0.05)."""
     model = make_model(cfg)
     modalities = list(modalities or MODALITY_GRID)
     results: Dict[str, Dict[float, dict]] = {m: {} for m in modalities}
@@ -68,13 +91,13 @@ def noise_sweep(
         # config captured at step-creation time — a sigma that only reaches
         # the dataset config is silently ignored there (caught 2026-08-17:
         # every sigma cell of a device_noise sweep came back identical).
-        eval_step = make_eval_step(model, _cfg_for(cfg, sigma))
+        eval_step = make_eval_step(model, _cfg_for(cfg, sigma, kind))
         # Keep the remainder batch: dropping it loses up to eval_batch_size-1
         # samples per grid cell on small folds (same class of bug as the
         # reference's drop_last val loaders, fixed for the main eval path in
         # cli/train.py — the sweep must evaluate every sample too).
         loader = BatchLoader(
-            _dataset_for(cfg, sigma),
+            _dataset_for(cfg, sigma, kind),
             cfg.data.eval_batch_size,
             shuffle=False,
             drop_last=False,

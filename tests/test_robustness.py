@@ -62,3 +62,53 @@ def test_device_noise_sweep_sigma_reaches_the_step():
         "sigma=2.0 cell identical to sigma=0.0 — the probe sigma never "
         "reached the device-side view construction"
     )
+
+
+def test_salt_pepper_sweep_axis():
+    """The SP probe axis (``--Condition_SP_Variance``,
+    ``fusion_train.py:535``): levels must reach the view construction on
+    both the host and device_noise paths, and probe with SP only."""
+    import dataclasses
+
+    for device_noise in (False, True):
+        cfg = tiny_test_config(batch_size=4)
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, device_noise=device_noise)
+        )
+        _, state = init_state(cfg, 0)
+        results = noise_sweep(
+            cfg, state, sigmas=(0.0, 0.4), modalities=["both"],
+            kind="salt_pepper",
+        )
+        clean = results["both"][0.0]
+        corrupted = results["both"][0.4]
+        assert clean["loss"] != corrupted["loss"], (
+            f"SP level 0.4 cell identical to clean (device_noise="
+            f"{device_noise}) — the probe level never reached the view"
+        )
+
+
+def test_unknown_probe_kind_raises():
+    import pytest
+
+    cfg = tiny_test_config(batch_size=4)
+    _, state = init_state(cfg, 0)
+    with pytest.raises(ValueError, match="probe kind"):
+        noise_sweep(cfg, state, sigmas=(0.0,), kind="speckle")
+
+
+def test_cli_sweep_flags_parse():
+    """cli.test --sweep plumbing: flags parse and kind resolution matches
+    the library's probe kinds (exercised end-to-end on the TPU drive)."""
+    from edrl_tpu.cli.train import build_parser
+
+    parser = build_parser()
+    parser.add_argument("--checkpoint", default="")
+    parser.add_argument(
+        "--sweep", choices=["gaussian", "salt_pepper", "all"], default=""
+    )
+    parser.add_argument("--sweep_levels", type=float, nargs="+", default=None)
+    args = parser.parse_args(
+        ["--sweep", "all", "--sweep_levels", "0", "0.25"]
+    )
+    assert args.sweep == "all" and args.sweep_levels == [0.0, 0.25]
