@@ -102,7 +102,7 @@ def bench_train_step(
     return batch_size * steps / dt
 
 
-def bench_infer_step(batch_size: int = 16, steps: int = 20):
+def bench_infer_step(batch_size: int = 16, steps: int = 20, **model_kwargs):
     """Inference throughput: low-view forward only (the ``val()``/``test()``
     path, parity ``fusion_train.py:277,469-470``), scanned on-device like
     the train bench so the number is device time."""
@@ -111,7 +111,7 @@ def bench_infer_step(batch_size: int = 16, steps: int = 20):
 
     cfg = EDRLConfig(
         data=DataConfig(batch_size=batch_size),
-        model=ModelConfig(use_bfloat16=True),
+        model=ModelConfig(use_bfloat16=True, **model_kwargs),
         train=TrainConfig(),
     )
     model, state = init_state(cfg, 0)
@@ -151,6 +151,8 @@ def bench_infer_step(batch_size: int = 16, steps: int = 20):
 
 
 def main():
+    # Flagship only; to bench any registry model (apples-to-apples baseline
+    # comparisons, same methodology) use scripts/bench_model.py.
     pairs_per_sec = bench_train_step()
     infer_pairs_per_sec = bench_infer_step()
     print(

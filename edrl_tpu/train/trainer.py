@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from edrl_tpu.config import EDRLConfig
 from edrl_tpu.models.medfusion import MedFusion
@@ -140,7 +139,11 @@ def init_state(cfg: EDRLConfig, rng_seed: int = 0) -> Tuple[MedFusion, TrainStat
     return model, TrainState(
         step=jnp.asarray(0, jnp.int32),
         params=params,
-        batch_stats=variables.get("batch_stats", FrozenDict()),
+        # Plain {} (not FrozenDict()): a mutable apply returns batch_stats as
+        # a plain dict, and lax.scan requires the carry pytree TYPES to match
+        # — FrozenDict() in / {} out broke every scanned path (epoch runner,
+        # bench) for models without batch stats (caught benching Trans_cross).
+        batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
     )
 

@@ -17,7 +17,7 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from bench import bench_train_step  # noqa: E402  (sets compile-cache dirs)
+from bench import bench_infer_step, bench_train_step  # noqa: E402  (sets compile-cache dirs)
 
 
 def main(argv=None):
@@ -25,22 +25,30 @@ def main(argv=None):
     p.add_argument("model_name")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument(
+        "--infer", action="store_true",
+        help="also bench the low-view eval forward (pairs/sec/chip)",
+    )
     args = p.parse_args(argv)
     t0 = time.time()
     pairs = bench_train_step(
         batch_size=args.batch_size, steps=args.steps, model_name=args.model_name
     )
-    print(
-        json.dumps(
-            {
-                "model_name": args.model_name,
-                "batch_size": args.batch_size,
-                "train_pairs_per_sec": round(pairs, 2),
-                "wall_s": round(time.time() - t0, 1),
-            }
-        ),
-        flush=True,
-    )
+    result = {
+        "model_name": args.model_name,
+        "batch_size": args.batch_size,
+        "train_pairs_per_sec": round(pairs, 2),
+    }
+    if args.infer:
+        result["infer_pairs_per_sec"] = round(
+            bench_infer_step(
+                batch_size=args.batch_size, steps=args.steps,
+                model_name=args.model_name,
+            ),
+            2,
+        )
+    result["wall_s"] = round(time.time() - t0, 1)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -317,3 +317,54 @@ class TestScanBatches:
         la = [m.loss for m in result_a.train_history]
         lb = [m.loss for m in result_b.train_history]
         np.testing.assert_allclose(la, lb, rtol=2e-4)
+
+
+class TestScanCarryCongruence:
+    """The train-step output must be pytree-congruent with its input state:
+    ``lax.scan`` (epoch runner, bench) requires identical carry TYPES.  For
+    models without batch stats, init_state used to hold an empty FrozenDict
+    while the mutable apply returned a plain {} — fine under per-step jit,
+    a TypeError inside every scanned path (caught benching Trans_cross)."""
+
+    def test_stateless_model_step_is_scan_congruent(self):
+        import dataclasses
+
+        import jax
+        import numpy as np
+
+        from edrl_tpu.config import tiny_test_config
+        from edrl_tpu.train.trainer import (
+            init_state,
+            make_model,
+            make_optimizer,
+            make_train_step,
+        )
+
+        cfg = tiny_test_config(batch_size=4)
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, model_name="Trans_cross")
+        )
+        model, state = init_state(cfg, 0)
+        assert not jax.tree_util.tree_leaves(state.batch_stats)
+        step = make_train_step(model, make_optimizer(cfg), cfg, jit=False)
+        rng = np.random.default_rng(0)
+        batch = {
+            "fundus_low": rng.uniform(size=(4, 64, 64, 3)).astype(np.float32),
+            "fundus_high": rng.uniform(size=(4, 64, 64, 3)).astype(np.float32),
+            "oct_low": rng.uniform(size=(4, 32, 32, 32, 1)).astype(np.float32),
+            "oct_high": rng.uniform(size=(4, 32, 32, 32, 1)).astype(np.float32),
+            "label": rng.integers(0, 2, size=4).astype(np.int32),
+        }
+        batch = jax.tree_util.tree_map(jax.numpy.asarray, batch)
+
+        def body(carry, _):
+            new_state, out = step(carry, batch, jax.random.key(0))
+            return new_state, out["loss"]
+
+        # Two scanned steps: fails loudly on any carry-structure mismatch.
+        final, losses = jax.lax.scan(body, state, None, length=2)
+        assert np.isfinite(np.asarray(losses)).all()
+        assert (
+            jax.tree_util.tree_structure(final)
+            == jax.tree_util.tree_structure(state)
+        )
