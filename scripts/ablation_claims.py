@@ -69,6 +69,57 @@ def fmt(t):
     return f"{mean:.3f}±{std:.3f}(n={n})" if n > 1 else f"{mean:.3f}(n=1)"
 
 
+def compute_aggregates(by) -> dict:
+    """Named aggregate values for the ABLATION_ANALYSIS.md template.
+
+    The narrative quotes specific cells; rendering them from the same
+    aggregation as the claim checker keeps the prose from drifting as seeds
+    accumulate (each value is a ``mean±std(n=..)`` string; ``wins_*`` are
+    ``k/n`` paired per-seed direction counts)."""
+    vals = {}
+    seeds = sorted({r["seed"] for rs in by.values() for r in rs})
+    vals["n_seeds"] = str(min(len(rs) for rs in by.values()))
+    vals["seed_list"] = ", ".join(str(s) for s in seeds)
+    short = {
+        FULL: "full", NOMMD: "nommd", NOEPRL: "noeprl",
+        NODILR: "nodilr", LATE: "late",
+    }
+    for name, key in short.items():
+        if name not in by:
+            continue
+        vals[f"val_acc_{key}"] = fmt(agg(by, name, lambda r: r["best_val_acc"]))
+        for mod, mkey in (
+            ("both", "both"), ("fundus-only", "fundus"), ("oct-only", "oct")
+        ):
+            for sig, skey in ((0.0, "s0"), (0.5, "s5")):
+                vals[f"{key}_{mkey}_acc_{skey}"] = fmt(
+                    agg(by, name, cell(mod, sig, "accuracy"))
+                )
+                vals[f"{key}_{mkey}_auc_{skey}"] = fmt(
+                    agg(by, name, cell(mod, sig, "auc"))
+                )
+        vals[f"{key}_train_loss"] = fmt(
+            agg(by, name, lambda r: r["final_train_loss"])
+        )
+    paired_specs = {
+        "wins_mmd_acc": (FULL, NOMMD, cell("both", 0.5, "accuracy")),
+        "wins_eprl_fundus": (FULL, NOEPRL, cell("fundus-only", 0.0, "auc")),
+        "wins_eprl_oct": (FULL, NOEPRL, cell("oct-only", 0.0, "auc")),
+        "wins_dilr_fundus": (FULL, NODILR, cell("fundus-only", 0.0, "auc")),
+        "wins_mmd_retention": (
+            FULL, NOMMD,
+            lambda r: r["sweep"]["both"][0.5]["auc"]
+            - r["sweep"]["both"][0.0]["auc"],
+        ),
+    }
+    for key, (a, b, f) in paired_specs.items():
+        if a in by and b in by:
+            wins, n, detail = paired(by, a, b, f)
+            vals[key] = f"{wins}/{n}"
+            vals[key + "_detail"] = detail
+    return vals
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--jsonl", default="ABLATION.md.jsonl")

@@ -275,7 +275,23 @@ def to_markdown(rows, sigmas, variants=VARIANTS) -> str:
                             "..", "ABLATION_ANALYSIS.md")
     if os.path.exists(analysis):
         with open(analysis) as f:
-            lines += ["", f.read()]
+            text = f.read()
+        # The narrative quotes aggregate numbers via {{name}} placeholders,
+        # rendered from the same aggregation as the claim checker so the
+        # prose can never drift from the data as seeds accumulate.
+        try:
+            import re
+
+            by = ablation_claims.load(tmp)
+            vals = ablation_claims.compute_aggregates(by)
+            text = re.sub(
+                r"\{\{(\w+)\}\}",
+                lambda m: str(vals.get(m.group(1), m.group(0))),
+                text,
+            )
+        except Exception:  # pragma: no cover - template stays literal
+            pass
+        lines += ["", text]
     return "\n".join(lines)
 
 
