@@ -15,6 +15,11 @@ from edrl_tpu.ops.correlation import (
 )
 from edrl_tpu.ops.losses import label_smoothing_cross_entropy
 from edrl_tpu.ops.club import club_mean_mi, club_learning_loss
+from edrl_tpu.ops.quantization import (
+    quantize_for_serving,
+    quantized_apply,
+    int8_dense,
+)
 
 __all__ = [
     "gaussian_kernel",
@@ -30,4 +35,7 @@ __all__ = [
     "label_smoothing_cross_entropy",
     "club_mean_mi",
     "club_learning_loss",
+    "quantize_for_serving",
+    "quantized_apply",
+    "int8_dense",
 ]

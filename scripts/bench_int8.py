@@ -1,0 +1,128 @@
+"""Measure W8A8 int8 serving throughput vs the bf16 eval path (TPU).
+
+Same scanned-on-device methodology as ``bench.py``'s ``bench_infer_step``
+(one jitted ``lax.scan``, carry fed back into the input so XLA cannot hoist
+the loop-invariant forward, ``float()`` sync for device-true timing).
+
+Prints one JSON line:
+    {"bf16_pairs_per_sec": ..., "int8_pairs_per_sec": ..., "speedup": ...,
+     "max_abs_prob_delta": ..., "dense_modules_quantized": N}
+
+Usage:  python scripts/bench_int8.py [--batch 16] [--steps 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--min_dim", type=int, default=128)
+    args = ap.parse_args()
+
+    from edrl_tpu.config import DataConfig, EDRLConfig, ModelConfig, TrainConfig
+    from edrl_tpu.ops.quantization import int8_dense, quantize_for_serving
+    from edrl_tpu.train.trainer import _normalize_output, init_state
+
+    cfg = EDRLConfig(
+        data=DataConfig(batch_size=args.batch, eval_batch_size=args.batch),
+        model=ModelConfig(use_bfloat16=True),
+        train=TrainConfig(),
+    )
+    model, state = init_state(cfg, 0)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    d = cfg.data
+    rng = np.random.default_rng(0)
+    fundus = jnp.asarray(
+        rng.uniform(size=(args.batch, d.fundus_size, d.fundus_size, 3)).astype(
+            np.float32
+        )
+    )
+    oct_vol = jnp.asarray(
+        rng.uniform(size=(args.batch, *d.oct_size, 1)).astype(np.float32)
+    )
+    y = jnp.zeros((args.batch,), jnp.int32)
+
+    example = (
+        jnp.zeros((2, d.fundus_size, d.fundus_size, 3), jnp.float32),
+        jnp.zeros((2, *d.oct_size, 1), jnp.float32),
+        jnp.zeros((2,), jnp.int32),
+    )
+    qvariables, scales, report = quantize_for_serving(
+        model, variables, *example, train=False, min_dim=args.min_dim
+    )
+
+    def probs_fn(v, s, f):
+        def apply():
+            out = model.apply(v, f, oct_vol, y, train=False)
+            return _normalize_output(out)[0]
+
+        if s:
+            with int8_dense(s):
+                logits = apply()
+        else:
+            logits = apply()
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    def make_runner(v, s):
+        @jax.jit
+        def run(v, s, fundus):
+            def body(acc, _):
+                f = fundus + acc * jnp.float32(1e-24)
+                p = probs_fn(v, s, f)
+                return p.mean().astype(jnp.float32), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=args.steps)
+            return acc
+
+        return lambda: float(run(v, s, fundus))
+
+    run_bf16 = make_runner(variables, {})
+    run_int8 = make_runner(qvariables, scales)
+
+    # Numerics: one forward each, compare probabilities.
+    p_ref = np.asarray(jax.jit(lambda v, f: probs_fn(v, {}, f))(variables, fundus))
+    p_q = np.asarray(
+        jax.jit(lambda v, s, f: probs_fn(v, s, f))(qvariables, scales, fundus)
+    )
+    max_delta = float(np.max(np.abs(p_ref - p_q)))
+    top1_agree = float((p_ref.argmax(-1) == p_q.argmax(-1)).mean())
+
+    results = {}
+    for name, runner in (("bf16", run_bf16), ("int8", run_int8)):
+        runner()  # warmup/compile
+        t0 = time.perf_counter()
+        runner()
+        dt = time.perf_counter() - t0
+        results[name] = args.batch * args.steps / dt
+
+    print(
+        json.dumps(
+            {
+                "bf16_pairs_per_sec": round(results["bf16"], 1),
+                "int8_pairs_per_sec": round(results["int8"], 1),
+                "speedup": round(results["int8"] / results["bf16"], 3),
+                "max_abs_prob_delta": round(max_delta, 5),
+                "top1_agreement": top1_agree,
+                "dense_modules_quantized": report["dense_modules_quantized"],
+                "batch": args.batch,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
