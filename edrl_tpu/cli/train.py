@@ -135,19 +135,14 @@ def config_from_args(args) -> EDRLConfig:
 
 def make_loaders(cfg: EDRLConfig):
     from edrl_tpu.data import (
+        SYNTHETIC_DATASETS,
         BatchLoader,
         GammaDataset,
-        HardSyntheticGammaDataset,
-        SyntheticGammaDataset,
         kfold_split,
     )
 
-    if cfg.data.dataset in ("synthetic", "synthetic_hard"):
-        ds_cls = (
-            HardSyntheticGammaDataset
-            if cfg.data.dataset == "synthetic_hard"
-            else SyntheticGammaDataset
-        )
+    if cfg.data.dataset in SYNTHETIC_DATASETS:
+        ds_cls = SYNTHETIC_DATASETS[cfg.data.dataset]
         train_ds = ds_cls(cfg.data, mode="train")
         val_ds = ds_cls(cfg.data, mode="val")
     elif cfg.data.dataset == "glu2":

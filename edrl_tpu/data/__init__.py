@@ -8,7 +8,12 @@ prefetches batches on a background thread so the TPU never waits on IO.
 """
 
 from edrl_tpu.data.noise import add_gaussian, add_salt_pepper, make_noise_views
-from edrl_tpu.data.synthetic import HardSyntheticGammaDataset, SyntheticGammaDataset
+from edrl_tpu.data.synthetic import (
+    SYNTHETIC_DATASETS,
+    ComplementarySyntheticGammaDataset,
+    HardSyntheticGammaDataset,
+    SyntheticGammaDataset,
+)
 from edrl_tpu.data.loader import BatchLoader, kfold_split
 from edrl_tpu.data.gamma import GammaDataset, GammaSub1Dataset
 
@@ -18,6 +23,8 @@ __all__ = [
     "make_noise_views",
     "SyntheticGammaDataset",
     "HardSyntheticGammaDataset",
+    "ComplementarySyntheticGammaDataset",
+    "SYNTHETIC_DATASETS",
     "GammaDataset",
     "GammaSub1Dataset",
     "BatchLoader",

@@ -34,9 +34,26 @@ class SyntheticGammaDataset:
     def __len__(self) -> int:
         return self.n
 
+    def _index_entropy(self, const: int, index: int):
+        """Seed entropy for sample ``index`` of THIS split.
+
+        Non-train splits draw **disjoint** samples from the same protocol.
+        Until round 3 every split replayed the train entropy ``[const,
+        index]``, so a standalone val dataset was byte-identical to the
+        first ``len(val)`` train samples and every synthetic "val" metric
+        was measured on seen data (invalidating generalization claims in
+        the ablation study).  Train keeps the historical entropy so prior
+        training runs/compile caches stay reproducible.
+        """
+        if self.mode == "train":
+            return [const, index]
+        return [const, 104729 if self.mode == "val" else 104730, index]
+
     def _base_sample(self, index: int):
         """Raw (pre-noise) fundus/oct pair + label, deterministic in index."""
-        rng = np.random.default_rng(np.random.SeedSequence([1234, index]))
+        rng = np.random.default_rng(
+            np.random.SeedSequence(self._index_entropy(1234, index))
+        )
         label = index % self.num_classes
         h = self.cfg.fundus_size
         d, oh, ow = self.cfg.oct_size
@@ -119,7 +136,9 @@ class HardSyntheticGammaDataset(SyntheticGammaDataset):
     distractor_amplitude: float = 0.15
 
     def _base_sample(self, index: int):
-        rng = np.random.default_rng(np.random.SeedSequence([99177, index]))
+        rng = np.random.default_rng(
+            np.random.SeedSequence(self._index_entropy(99177, index))
+        )
         label = index % self.num_classes
         h = self.cfg.fundus_size
         d, oh, ow = self.cfg.oct_size
@@ -176,3 +195,114 @@ class HardSyntheticGammaDataset(SyntheticGammaDataset):
         )
         oct_vol = np.clip(oct_vol, 0.0, 1.0).astype(np.float32)
         return fundus, oct_vol, label
+
+
+def synthetic_dataset_cls(dataset: str):
+    """Map a ``DataConfig.dataset`` name to its synthetic generator class."""
+    return SYNTHETIC_DATASETS[dataset]
+
+
+class ComplementarySyntheticGammaDataset(SyntheticGammaDataset):
+    """Complementary-evidence protocol: the label is only fully decodable
+    by FUSING the two modalities, so the multimodal advantage is
+    expressible in *clean accuracy* (the hard protocol above expresses it
+    only on the robustness axes — its clean-accuracy column rewards
+    memorization, ABLATION.md round 2/3).
+
+    Construction (binary): latent evidence ``u, v ~ N(0,1)`` clipped to
+    [-2, 2]; ``label = (u + v > 0)``.  The fundus renders **only** ``u``
+    (a fixed protocol-level spatial template scaled by ``a*u``) and the
+    OCT renders **only** ``v``.  The Bayes-optimal *unimodal* classifier
+    is ``sign(u)`` (resp. ``sign(v)``) with accuracy
+    ``E[max(Phi(u), 1-Phi(u))] ~= 0.75``, while fusing both recovers
+    ``u + v`` exactly → ceiling ~= 1.0.  Each modality still carries real
+    per-modality label signal (~0.75), so EPRL's per-modality proxy
+    losses remain learnable (a pure-XOR construction would make them
+    degenerate).
+
+    4-class variant: ``label = (u > 0) + 2*(v > 0)`` — each modality
+    carries exactly one bit; unimodal ceiling 0.5, fusion ceiling ~1.0.
+
+    Distractors and nuisance noise follow the hard protocol (weaker), so
+    the evidence must be read out of structure, not mean intensity.
+
+    No reference analog (its data paths are placeholders,
+    ``fusion_train.py:559-560``); this closes STATUS round-3 known-gap #3:
+    "a protocol where the multimodal advantage is expressible in accuracy".
+    """
+
+    signal_amplitude: float = 0.10
+    nuisance_sigma: float = 0.08
+    distractor_amplitude: float = 0.10
+
+    def latent_evidence(self, index: int):
+        """(u, v) evidence pair for ``index`` — test/analysis hook."""
+        rng = np.random.default_rng(
+            np.random.SeedSequence(self._index_entropy(77411, index))
+        )
+        u, v = np.clip(rng.normal(size=2), -2.0, 2.0)
+        return float(u), float(v)
+
+    def _label_of(self, u: float, v: float) -> int:
+        if self.num_classes >= 4:
+            return int(u > 0) + 2 * int(v > 0)
+        return int(u + v > 0)
+
+    def _base_sample(self, index: int):
+        rng = np.random.default_rng(
+            np.random.SeedSequence(self._index_entropy(77411, index))
+        )
+        u, v = np.clip(rng.normal(size=2), -2.0, 2.0)
+        label = self._label_of(float(u), float(v))
+        h = self.cfg.fundus_size
+        d, oh, ow = self.cfg.oct_size
+
+        # Fixed protocol-level templates (label-independent — the EVIDENCE
+        # is the signed coefficient, not the pattern identity).
+        t_rng = np.random.default_rng(np.random.SeedSequence([31337]))
+        yy, xx = np.mgrid[0:h, 0:h]
+        f1, f2 = t_rng.uniform(2, 7, size=2)
+        ph1, ph2 = t_rng.uniform(0, 2 * np.pi, size=2)
+        fundus_tpl = np.sin(2 * np.pi * f1 * xx / h + ph1) * np.cos(
+            2 * np.pi * f2 * yy / h + ph2
+        )
+        zz = np.mgrid[0:d][:, None, None]
+        f3 = t_rng.uniform(2, 7)
+        oct_tpl = np.sin(2 * np.pi * f3 * zz / d + t_rng.uniform(0, 2 * np.pi))
+
+        # Per-sample distractors + nuisance, as in the hard protocol.
+        g1 = rng.uniform(2, 9)
+        distractor_2d = np.sin(2 * np.pi * g1 * xx / h + rng.uniform(0, 2 * np.pi))
+        g2 = rng.uniform(2, 9)
+        distractor_3d = np.sin(2 * np.pi * g2 * zz / d + rng.uniform(0, 2 * np.pi))
+        base_shift = rng.uniform(-0.06, 0.06)
+
+        a, da, ns = (
+            self.signal_amplitude,
+            self.distractor_amplitude,
+            self.nuisance_sigma,
+        )
+        fundus = (
+            0.5
+            + base_shift
+            + (a * u) * fundus_tpl[..., None]
+            + da * distractor_2d[..., None]
+            + ns * rng.normal(size=(h, h, 3))
+        )
+        fundus = np.clip(fundus, 0.0, 1.0).astype(np.float32)
+        oct_vol = (
+            0.5
+            + base_shift
+            + (a * v) * oct_tpl
+            + da * distractor_3d
+            + ns * rng.normal(size=(d, oh, ow))
+        )
+        oct_vol = np.clip(oct_vol, 0.0, 1.0).astype(np.float32)
+        return fundus, oct_vol, label
+
+
+SYNTHETIC_DATASETS = {
+    "synthetic": SyntheticGammaDataset,
+    "synthetic_hard": HardSyntheticGammaDataset,
+    "synthetic_fusion": ComplementarySyntheticGammaDataset,
+}

@@ -56,15 +56,10 @@ def _cfg_for(cfg: EDRLConfig, level: float, kind: str = "gaussian") -> EDRLConfi
 
 def _dataset_for(cfg: EDRLConfig, sigma: float, kind: str = "gaussian"):
     data_cfg = _cfg_for(cfg, sigma, kind).data
-    if cfg.data.dataset in ("synthetic", "synthetic_hard"):
-        from edrl_tpu.data import HardSyntheticGammaDataset, SyntheticGammaDataset
+    if cfg.data.dataset in ("synthetic", "synthetic_hard", "synthetic_fusion"):
+        from edrl_tpu.data import SYNTHETIC_DATASETS
 
-        ds_cls = (
-            HardSyntheticGammaDataset
-            if cfg.data.dataset == "synthetic_hard"
-            else SyntheticGammaDataset
-        )
-        return ds_cls(data_cfg, mode="val")
+        return SYNTHETIC_DATASETS[cfg.data.dataset](data_cfg, mode="val")
     from edrl_tpu.data import GammaDataset
 
     return GammaDataset(data_cfg, mode="val")

@@ -12,6 +12,10 @@ throughput on random weights).
 from __future__ import annotations
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import numpy as np
