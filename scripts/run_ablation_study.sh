@@ -8,11 +8,13 @@ set -u
 cd "$(dirname "$0")/.."
 EPOCHS="${EPOCHS:-25}"
 SEEDS="${SEEDS:-0 1 2}"
+PROTOCOL="${PROTOCOL:-hard}"
 for seed in $SEEDS; do
   for v in "MedFusion (full EDRL)" "MedFusion -MMD" "MedFusion -EPRL" \
            "MedFusion -DILR" "Multi_ResNet (late fusion)"; do
     echo "--- driving: $v s$seed ---"
     timeout 5400 python scripts/ablation_study.py \
-      --epochs "$EPOCHS" --seeds "$seed" --variants "$v" || exit 1
+      --epochs "$EPOCHS" --seeds "$seed" --variants "$v" \
+      --protocol "$PROTOCOL" || exit 1
   done
 done
