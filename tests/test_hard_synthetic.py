@@ -127,6 +127,7 @@ class TestMmdWeightAblation:
             fundus_size = 64
             oct_size = 32
             scan_batches = 0
+            protocol = "hard"
 
         cfg = base_config(A)
         v = {name: variant(cfg, name) for name in VARIANTS}
@@ -134,3 +135,54 @@ class TestMmdWeightAblation:
         assert v["MedFusion -EPRL"].model.proxy_weight_train == 0.0
         assert v["MedFusion -DILR"].model.dilr_weight == 0.0
         assert v["Multi_ResNet (late fusion)"].model.model_name == "Multi_ResNet"
+
+    def test_fusion_protocol_markdown(self):
+        """to_markdown(protocol='fusion') renders the advantage table from
+        fabricated rows — catches schema drift before a multi-hour study."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "ablation_study",
+            os.path.join(
+                os.path.dirname(__file__), "..", "scripts", "ablation_study.py"
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        sigmas = (0.0, 0.5)
+        def row(name, seed, both, fo, oo):
+            return {
+                "name": name,
+                "seed": seed,
+                "best_val_acc": both,
+                "final_train_loss": 1.0,
+                "train_time_s": 10.0,
+                "sweep": {
+                    m: {s: {"accuracy": a, "auc": a} for s in sigmas}
+                    for m, a in (
+                        ("both", both), ("fundus-only", fo), ("oct-only", oo)
+                    )
+                },
+            }
+
+        rows = [
+            row("MedFusion (full EDRL)", s, 0.95, 0.74, 0.76) for s in (0, 1)
+        ] + [
+            row("Multi_ResNet (late fusion)", s, 0.78, 0.5, 0.77)
+            for s in (0, 1)
+        ]
+        md = mod.to_markdown(
+            rows,
+            sigmas,
+            variants=("MedFusion (full EDRL)", "Multi_ResNet (late fusion)"),
+            protocol="fusion",
+        )
+        assert "Fusion advantage" in md
+        # full EDRL: 0.95 - max(0.74, 0.76) = 0.19
+        assert "0.19±0.00" in md
+        # late fusion: 0.78 - 0.77 = 0.01
+        assert "0.01±0.00" in md
+        # the hard-protocol claim check must NOT be appended for fusion
+        assert "claim check" not in md.lower()
