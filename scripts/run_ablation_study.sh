@@ -9,11 +9,15 @@ cd "$(dirname "$0")/.."
 EPOCHS="${EPOCHS:-25}"
 SEEDS="${SEEDS:-0 1 2}"
 PROTOCOL="${PROTOCOL:-hard}"
+# Cold /tmp/jax_comp_cache rounds pay a 15-25 min AOT compile on the first
+# run of each distinct program; 5400 s only fits that plus training when the
+# cache is warm, so the budget is overridable.
+RUN_TIMEOUT="${RUN_TIMEOUT:-5400}"
 for seed in $SEEDS; do
   for v in "MedFusion (full EDRL)" "MedFusion -MMD" "MedFusion -EPRL" \
            "MedFusion -DILR" "Multi_ResNet (late fusion)"; do
     echo "--- driving: $v s$seed ---"
-    timeout 5400 python scripts/ablation_study.py \
+    timeout "$RUN_TIMEOUT" python scripts/ablation_study.py \
       --epochs "$EPOCHS" --seeds "$seed" --variants "$v" \
       --protocol "$PROTOCOL" || exit 1
   done
