@@ -337,6 +337,23 @@ def to_markdown(rows, sigmas, variants=VARIANTS, protocol="hard") -> str:
                   buf.getvalue().rstrip(), "```", ""]
     except Exception as e:  # pragma: no cover - advisory section only
         lines += [f"(claim check unavailable: {e})", ""]
+    # Seen-val vs held-out comparison (the memorization tell): rendered only
+    # when the archived pre-fix table is present to pair against.
+    seen_jsonl = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "..", "ABLATION_r3_seenval.jsonl")
+    if os.path.exists(seen_jsonl):
+        try:
+            import contextlib
+            import io
+
+            import ablation_generalization_gap as gap
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                gap.main(["--seen", seen_jsonl, "--heldout", tmp])
+            lines += [buf.getvalue().rstrip(), ""]
+        except Exception as e:  # pragma: no cover - advisory section only
+            lines += [f"(generalization-gap section unavailable: {e})", ""]
     analysis = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "..", "ABLATION_ANALYSIS.md")
     if os.path.exists(analysis):
