@@ -315,6 +315,38 @@ def to_markdown(rows, sigmas, variants=VARIANTS, protocol="hard") -> str:
         "",
     ]
     if protocol != "hard":
+        # Hand-written commentary survives re-renders the same way the hard
+        # protocol's analysis does: appended from a sibling file, with
+        # {{placeholder}} aggregates rendered from the rows when available.
+        fusion_analysis = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..", "ABLATION_FUSION_ANALYSIS.md",
+        )
+        if protocol == "fusion" and os.path.exists(fusion_analysis):
+            try:
+                import re
+
+                sys.path.insert(
+                    0, os.path.dirname(os.path.abspath(__file__))
+                )
+                import ablation_claims
+
+                tmp = "/tmp/_ablation_fusion_rows.jsonl"
+                with open(tmp, "w") as f:
+                    for r in rows:
+                        f.write(json.dumps(r, default=float) + "\n")
+                by = ablation_claims.load(tmp)
+                vals = ablation_claims.compute_aggregates(by)
+                with open(fusion_analysis) as f:
+                    text = f.read()
+                text = re.sub(
+                    r"\{\{(\w+)\}\}",
+                    lambda m: str(vals.get(m.group(1), m.group(0))),
+                    text,
+                )
+                lines += ["", text]
+            except Exception as e:  # pragma: no cover - advisory only
+                lines += [f"(fusion analysis unavailable: {e})", ""]
         return "\n".join(lines)
     # Live claim check: recompute the analysis claims from these rows so
     # the committed table always carries the paired-seed evidence in sync
