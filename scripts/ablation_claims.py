@@ -101,6 +101,27 @@ def compute_aggregates(by) -> dict:
         vals[f"{key}_train_loss"] = fmt(
             agg(by, name, lambda r: r["final_train_loss"])
         )
+    # Fusion-protocol aggregates: per-seed clean-accuracy advantage
+    # both(σ=0) − max(fundus-only, oct-only)(σ=0), and the best unimodal
+    # cell itself (the honest reference for what "unimodal" achieves).
+    for name, key in short.items():
+        if name not in by:
+            continue
+        adv, uni = [], []
+        for r in by[name]:
+            b = r["sweep"]["both"][0.0]["accuracy"]
+            u = max(
+                r["sweep"]["fundus-only"][0.0]["accuracy"],
+                r["sweep"]["oct-only"][0.0]["accuracy"],
+            )
+            adv.append(b - u)
+            uni.append(u)
+        vals[f"adv_{key}"] = fmt((np.mean(adv),
+                                  np.std(adv, ddof=1) if len(adv) > 1 else 0.0,
+                                  len(adv)))
+        vals[f"uni_{key}"] = fmt((np.mean(uni),
+                                  np.std(uni, ddof=1) if len(uni) > 1 else 0.0,
+                                  len(uni)))
     paired_specs = {
         "wins_mmd_acc": (FULL, NOMMD, cell("both", 0.5, "accuracy")),
         "wins_eprl_fundus": (FULL, NOEPRL, cell("fundus-only", 0.0, "auc")),
