@@ -186,3 +186,14 @@ class TestMmdWeightAblation:
         assert "0.01±0.00" in md
         # the hard-protocol claim check must NOT be appended for fusion
         assert "claim check" not in md.lower()
+
+        # With every variant present, the appended ABLATION_FUSION_ANALYSIS
+        # commentary must have all {{placeholder}} aggregates resolved.
+        all_rows = [
+            row(name, s, 0.9, 0.7, 0.72)
+            for name in mod.VARIANTS
+            for s in (0, 1)
+        ]
+        md = mod.to_markdown(all_rows, sigmas, protocol="fusion")
+        assert "Reading the fusion-protocol table" in md
+        assert "{{" not in md, md[md.find("{{") - 80 : md.find("{{") + 120]
