@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_model_shards", type=int, default=1)
+    p.add_argument(
+        "--zero1",
+        action="store_true",
+        help="shard Adam moment buffers over the data mesh axis (ZeRO-1); "
+        "needs a multi-device mesh",
+    )
     # Steps per jitted call (lax.scan); amortizes dispatch latency on
     # remote/tunneled TPUs.  0 = per-batch dispatch.
     p.add_argument("--scan_batches", type=int, default=0)
@@ -128,6 +134,7 @@ def config_from_args(args) -> EDRLConfig:
         save_every=getattr(args, "save_every", 0),
         name=args.name,
         num_model_shards=args.num_model_shards,
+        zero1=getattr(args, "zero1", False),
         scan_batches=args.scan_batches,
     )
     return EDRLConfig(data=data, model=model, train=train)

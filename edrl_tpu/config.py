@@ -218,6 +218,11 @@ class TrainConfig:
     model_axis: str = "model"
     num_data_shards: int = 1
     num_model_shards: int = 1
+    # ZeRO-1: shard Adam's moment buffers over the data axis (exact — the
+    # Adam update is elementwise; GSPMD inserts reduce-scatter/all-gather).
+    # Cuts per-chip optimizer-state bytes ~len(data axis); only meaningful
+    # under a multi-device mesh.
+    zero1: bool = False
     log_every: int = 10
     use_pallas_mmd: bool = False  # XLA path is default; Pallas is opt-in
 

@@ -16,6 +16,8 @@ from edrl_tpu.parallel.mesh import (
     shard_batch,
     shard_stacked_batch,
     sharded_byte_fraction,
+    train_state_shardings,
+    zero1_opt_shardings,
 )
 
 __all__ = [
@@ -26,4 +28,6 @@ __all__ = [
     "shard_batch",
     "shard_stacked_batch",
     "sharded_byte_fraction",
+    "train_state_shardings",
+    "zero1_opt_shardings",
 ]

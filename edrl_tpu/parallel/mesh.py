@@ -126,6 +126,97 @@ def infer_param_shardings(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def zero1_opt_shardings(
+    opt_state: Any,
+    params: Any,
+    param_shardings: Any,
+    mesh: Mesh,
+    min_bytes: int = 1 << 16,
+) -> Any:
+    """ZeRO-1 sharding tree for an optax optimizer state.
+
+    Adam's first/second-moment blocks mirror the param pytree; each moment
+    leaf is sharded over the ``data`` axis on its largest dimension that is
+    (a) not already tensor-parallel-sharded and (b) divisible by the data
+    axis size.  Because the Adam update is elementwise, sharding the moments
+    is exact — GSPMD lowers the moment update to a reduce-scatter of the
+    gradient plus an all-gather of the param delta, which is the ZeRO-1
+    memory/communication trade (optimizer state is the 2x-params term in
+    Adam training, so this cuts per-chip state bytes by ~len(data axis)).
+
+    Structure-generic: any subtree of ``opt_state`` whose treedef equals the
+    param treedef (adam ``mu``/``nu``, regardless of optax chain nesting) is
+    mapped; every other leaf (step counts, injected hyperparams) replicates.
+
+    No reference analog (single-GPU torch, SURVEY.md section 0); this is part
+    of the TPU-native scaling layer of SURVEY.md section 5.8.
+    """
+    p_def = jax.tree_util.tree_structure(params)
+    n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+    rep = replicated(mesh)
+
+    def moment(p_sh: NamedSharding, leaf) -> NamedSharding:
+        if n_data <= 1 or leaf.size * leaf.dtype.itemsize < min_bytes:
+            return p_sh
+        spec = list(tuple(p_sh.spec))
+        spec += [None] * (leaf.ndim - len(spec))
+        cands = [
+            (leaf.shape[i], i)
+            for i in range(leaf.ndim)
+            if spec[i] is None and leaf.shape[i] % n_data == 0
+        ]
+        if not cands:
+            return p_sh
+        spec[max(cands)[1]] = "data"
+        return NamedSharding(mesh, P(*spec))
+
+    def is_param_block(x) -> bool:
+        if isinstance(x, (jax.Array, np.ndarray)) or np.isscalar(x):
+            return False
+        try:
+            return jax.tree_util.tree_structure(x) == p_def
+        except Exception:
+            return False
+
+    def assign(block):
+        if is_param_block(block):
+            return jax.tree_util.tree_map(moment, param_shardings, block)
+        # Non-moment leaf (count scalar, hyperparam array): replicate.
+        return rep
+
+    return jax.tree_util.tree_map(assign, opt_state, is_leaf=is_param_block)
+
+
+def train_state_shardings(
+    state: Any,
+    mesh: Mesh,
+    zero1: bool = False,
+    min_bytes: int = 1 << 16,
+) -> Any:
+    """A TrainState-shaped sharding pytree: TP rules on params, replicated
+    step/batch_stats, and (optionally) ZeRO-1-sharded optimizer moments.
+
+    ``jax.device_put(state, train_state_shardings(state, mesh, ...))`` places
+    the whole state; the same tree serves as a
+    ``jax.lax.with_sharding_constraint`` target on the updated state inside
+    the train step so output shardings match input shardings (no recompile
+    across steps)."""
+    rep = replicated(mesh)
+    param_sh = infer_param_shardings(state.params, mesh)
+    if zero1:
+        opt_sh = zero1_opt_shardings(
+            state.opt_state, state.params, param_sh, mesh, min_bytes
+        )
+    else:
+        opt_sh = jax.tree_util.tree_map(lambda _: rep, state.opt_state)
+    return state.replace(
+        step=rep,
+        params=param_sh,
+        batch_stats=jax.tree_util.tree_map(lambda _: rep, state.batch_stats),
+        opt_state=opt_sh,
+    )
+
+
 def sharded_byte_fraction(params: Any, shardings: Any) -> float:
     """Fraction of parameter bytes actually sharded (non-replicated spec).
 

@@ -149,12 +149,22 @@ def init_state(cfg: EDRLConfig, rng_seed: int = 0) -> Tuple[MedFusion, TrainStat
 
 
 def make_train_step(
-    model, tx: optax.GradientTransformation, cfg: EDRLConfig, jit: bool = True
+    model,
+    tx: optax.GradientTransformation,
+    cfg: EDRLConfig,
+    jit: bool = True,
+    state_shardings=None,
 ):
     """One jitted step: dual forward + MK-MMD + backward + Adam update.
 
     ``jit=False`` returns the raw step function for embedding inside a larger
-    jitted program (e.g. a multi-step ``lax.scan`` in ``bench.py``)."""
+    jitted program (e.g. a multi-step ``lax.scan`` in ``bench.py``).
+
+    ``state_shardings``: optional TrainState-shaped sharding tree (see
+    ``parallel.mesh.train_state_shardings``); the updated state is
+    sharding-constrained to it so output shardings always match input
+    shardings (ZeRO-1 moment shards survive the step, and re-feeding the
+    state never recompiles)."""
 
     kernel_mul = cfg.train.mmd_kernel_mul
     kernel_num = cfg.train.mmd_kernel_num
@@ -254,6 +264,10 @@ def make_train_step(
         probs = jax.nn.softmax(logits, axis=-1)
         out = {"loss": loss, "mmd": mmd, "probs": probs}
         out.update({k: v for k, v in aux.items()})
+        if state_shardings is not None:
+            new_state = jax.lax.with_sharding_constraint(
+                new_state, state_shardings
+            )
         return new_state, out
 
     return jax.jit(step_fn, donate_argnums=(0,)) if jit else step_fn
@@ -299,7 +313,12 @@ def make_eval_step(model, cfg: EDRLConfig):
     return jax.jit(step_fn)
 
 
-def make_epoch_runner(model, tx: optax.GradientTransformation, cfg: EDRLConfig):
+def make_epoch_runner(
+    model,
+    tx: optax.GradientTransformation,
+    cfg: EDRLConfig,
+    state_shardings=None,
+):
     """``scan_batches`` train steps inside ONE jitted ``lax.scan`` program.
 
     Per-batch dispatch pays one host->device round-trip of latency per step;
@@ -311,7 +330,9 @@ def make_epoch_runner(model, tx: optax.GradientTransformation, cfg: EDRLConfig):
     function folds ``base_key`` with ``state.step``, which increments inside
     the scan exactly as it does outside.
     """
-    raw_step = make_train_step(model, tx, cfg, jit=False)
+    raw_step = make_train_step(
+        model, tx, cfg, jit=False, state_shardings=state_shardings
+    )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_chunk(state: TrainState, stacked, base_key):
@@ -452,6 +473,17 @@ def fit(
     tx = make_optimizer(cfg)
     if state is None:
         _, state = init_state(cfg, cfg.train.seed)
+    state_shardings = None
+    if mesh is not None and mesh.devices.size > 1:
+        # Explicit state placement: TP rules on params, ZeRO-1 moment shards
+        # when enabled; the same tree constrains the step's output state so
+        # shardings are stable across steps (no recompiles).
+        from edrl_tpu.parallel.mesh import train_state_shardings
+
+        state_shardings = train_state_shardings(
+            state, mesh, zero1=cfg.train.zero1
+        )
+        state = jax.device_put(state, state_shardings)
     eval_step = make_eval_step(model, cfg)
     # Dispatch-latency amortization: scan_batches > 0 runs that many steps
     # per jitted call.  Composes with the mesh: the stacked chunk is sharded
@@ -459,18 +491,22 @@ def fit(
     # per-batch dispatch would (regression test in tests/test_parallel.py).
     scan_n = cfg.train.scan_batches
     epoch_runner = (
-        make_epoch_runner(model, tx, cfg) if scan_n and scan_n > 1 else None
+        make_epoch_runner(model, tx, cfg, state_shardings=state_shardings)
+        if scan_n and scan_n > 1
+        else None
     )
     # Under scan mode the per-batch step only runs for remainder chunks —
     # build it lazily so an evenly-divisible epoch never pays its (full
     # train-step, minutes-cold on the tunnel) compile.
     _step_cache = [] if epoch_runner is not None else [
-        make_train_step(model, tx, cfg)
+        make_train_step(model, tx, cfg, state_shardings=state_shardings)
     ]
 
     def train_step(*a, **kw):
         if not _step_cache:
-            _step_cache.append(make_train_step(model, tx, cfg))
+            _step_cache.append(
+                make_train_step(model, tx, cfg, state_shardings=state_shardings)
+            )
         return _step_cache[0](*a, **kw)
     base_key = jax.random.key(cfg.train.seed + 1000)
 

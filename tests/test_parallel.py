@@ -180,6 +180,96 @@ class TestTensorParallelTrainStep:
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=3e-5)
 
 
+class TestZero1:
+    """ZeRO-1 optimizer-state sharding (parallel.mesh.zero1_opt_shardings):
+    Adam moments shard over the data axis; the update is elementwise so the
+    sharded step must match the replicated step exactly, and the output
+    state must KEEP the moment shards (with_sharding_constraint in the step)
+    so re-feeding the state never recompiles."""
+
+    def _moment_paths_and_specs(self, tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return [
+            ("/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path), leaf)
+            for path, leaf in flat
+        ]
+
+    def test_zero1_shardings_shard_moments(self, mesh):
+        from edrl_tpu.parallel import train_state_shardings
+
+        cfg = tiny_test_config(batch_size=8)
+        _, state = init_state(cfg, 0)
+        sh = train_state_shardings(state, mesh, zero1=True, min_bytes=0)
+        specs = [
+            s.spec
+            for s in jax.tree_util.tree_leaves(
+                sh.opt_state, is_leaf=lambda x: isinstance(x, NamedSharding)
+            )
+        ]
+        assert any("data" in tuple(spec) for spec in specs), specs
+        # Params stay data-replicated (ZeRO-1, not ZeRO-3).
+        p_specs = [
+            s.spec
+            for s in jax.tree_util.tree_leaves(
+                sh.params, is_leaf=lambda x: isinstance(x, NamedSharding)
+            )
+        ]
+        assert all("data" not in tuple(spec) for spec in p_specs)
+
+    def test_zero1_step_matches_replicated_and_keeps_shards(self, mesh):
+        from edrl_tpu.parallel import train_state_shardings
+
+        cfg = tiny_test_config(batch_size=8)
+        tx = make_optimizer(cfg)
+        rng = np.random.default_rng(1)
+        batch = {
+            "fundus_low": rng.uniform(size=(8, 64, 64, 3)).astype(np.float32),
+            "fundus_high": rng.uniform(size=(8, 64, 64, 3)).astype(np.float32),
+            "oct_low": rng.uniform(size=(8, 32, 32, 32, 1)).astype(np.float32),
+            "oct_high": rng.uniform(size=(8, 32, 32, 32, 1)).astype(np.float32),
+            "label": rng.integers(0, 2, size=8).astype(np.int32),
+        }
+        key = jax.random.key(11)
+
+        step_plain = make_train_step(make_model(cfg), tx, cfg)
+        _, state_a = init_state(cfg, 0)
+        sa, out_a = step_plain(
+            state_a, jax.tree_util.tree_map(jnp.asarray, batch), key
+        )
+
+        _, state_b = init_state(cfg, 0)
+        sh = train_state_shardings(state_b, mesh, zero1=True, min_bytes=0)
+        state_b = jax.device_put(state_b, sh)
+        step_z1 = make_train_step(
+            make_model(cfg), tx, cfg, state_shardings=sh
+        )
+        sb, out_b = step_z1(state_b, shard_batch(batch, mesh), key)
+
+        assert float(out_b["loss"]) == pytest.approx(
+            float(out_a["loss"]), rel=2e-3
+        )
+        la = jax.tree_util.tree_leaves(sa.params)[0]
+        lb = jax.tree_util.tree_leaves(sb.params)[0]
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=2e-5)
+        # Moment shards survive the step (out state matches the input tree).
+        out_specs = [
+            l.sharding.spec
+            for l in jax.tree_util.tree_leaves(sb.opt_state)
+            if hasattr(l, "sharding")
+        ]
+        assert any("data" in tuple(s) for s in out_specs), out_specs
+        # Second step re-feeds the updated state without re-placement —
+        # shardings must already match (a mismatch would recompile or
+        # resolve to different shardings; equality of specs is the check).
+        sb2, _ = step_z1(sb, shard_batch(batch, mesh), key)
+        out_specs2 = [
+            l.sharding.spec
+            for l in jax.tree_util.tree_leaves(sb2.opt_state)
+            if hasattr(l, "sharding")
+        ]
+        assert out_specs == out_specs2
+
+
 class TestScannedMeshEpoch:
     """scan_batches composes with the mesh (VERDICT r2 weak #3): a scanned
     sharded epoch must be step-for-step identical to per-batch sharded
@@ -293,8 +383,10 @@ class TestScannedMeshEpoch:
             data=dataclasses.replace(
                 cfg.data, num_synthetic_samples=32, device_noise=True
             ),
+            # zero1=True: the scanned-mesh fit path also exercises ZeRO-1
+            # placement + the sharding constraint inside the scan body.
             train=dataclasses.replace(
-                cfg.train, scan_batches=2, end_epochs=1, log_dir=""
+                cfg.train, scan_batches=2, end_epochs=1, log_dir="", zero1=True
             ),
         )
         train_loader = BatchLoader(
