@@ -55,6 +55,7 @@ def run_ensemble(cfg, members, skip_train: bool = False, metric_path: str = "Met
         # Always leave a restorable checkpoint, even if no epoch improved on
         # accuracy 0.0 (best-only saving would leave the dir empty).
         mgr.save(state, name="latest")
+        mgr.wait()  # commit the async write before this manager goes away
         print(
             f"[{member}] best val acc {result.best_acc:.4f} "
             f"at epoch {result.best_epoch}"

@@ -6,6 +6,19 @@ with no optimizer state and no mid-run resume.  Here the full
 ``TrainState`` (params + batch_stats + opt_state + step) is checkpointed, a
 ``best`` symlink-style pointer is kept, and ``restore`` resumes training
 exactly — the standard discipline for preemptible TPU jobs.
+
+Saves are asynchronous by default: ``save`` takes ONE batched device->host
+snapshot of the state (so the caller may immediately donate/overwrite the
+device buffers — the next train step does) and hands the host tree to an
+orbax ``AsyncCheckpointer`` whose disk write overlaps the following epoch.
+Over a tunneled/remote TPU this removes the disk-write stall from the train
+loop; the snapshot transfer is the only blocking part, and it is batched for
+the same reason ``restore`` is (per-leaf transfers took ~10 minutes for the
+full-size state; one batched transfer is seconds).  ``wait()`` drains the
+in-flight write; ``fit()`` calls it before returning and ``restore`` calls
+it before reading, so no reader can observe a half-written checkpoint from
+this process (orbax writes to a temp dir and renames, so crashes never leave
+a plausible-but-corrupt directory either).
 """
 
 from __future__ import annotations
@@ -22,18 +35,34 @@ from edrl_tpu.train.trainer import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, async_save: bool = True):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
-        self._ckptr = ocp.StandardCheckpointer()
+        self._async = async_save
+        self._ckptr = (
+            ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+            if async_save
+            else ocp.StandardCheckpointer()
+        )
 
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
 
     def save(self, state: TrainState, name: str = "latest") -> str:
         path = self._path(name)
-        self._ckptr.save(path, state, force=True)
+        # At most one write in flight: drain the previous save first (an
+        # overwrite of a path whose write is still running is undefined, and
+        # one background writer bounds host memory at one extra state copy).
+        # By the next save the previous write has had a whole epoch to
+        # finish, so this wait is normally free.
         self._ckptr.wait_until_finished()
+        # One batched D2H snapshot; afterwards the caller may donate the
+        # device buffers (make_train_step donates the state) while the disk
+        # write proceeds from the host copy.
+        snapshot = jax.device_get(state)
+        self._ckptr.save(path, snapshot, force=True)
+        if not self._async:
+            self._ckptr.wait_until_finished()
         return path
 
     def save_best(self, state: TrainState, epoch: int, accuracy: float) -> str:
@@ -41,6 +70,10 @@ class CheckpointManager:
         with open(self._path("best.json"), "w") as f:
             json.dump({"epoch": epoch, "accuracy": accuracy}, f)
         return path
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has been committed."""
+        self._ckptr.wait_until_finished()
 
     def best_info(self) -> Optional[dict]:
         meta = self._path("best.json")
@@ -61,11 +94,22 @@ class CheckpointManager:
         which over a remote-TPU transport took ~10 minutes for the full-size
         state; the batched path is seconds.
         """
+        self._ckptr.wait_until_finished()
         path = self._path(name)
+
+        def _restore(target):
+            # StandardCheckpointer has a positional convenience signature;
+            # AsyncCheckpointer(StandardCheckpointHandler) takes CheckpointArgs.
+            if self._async:
+                return self._ckptr.restore(
+                    path, args=ocp.args.StandardRestore(target)
+                )
+            return self._ckptr.restore(path, target)
+
         if not host_first:
-            return self._ckptr.restore(path, template)
+            return _restore(template)
         host_template = jax.tree_util.tree_map(_to_host_abstract, template)
-        restored = self._ckptr.restore(path, host_template)
+        restored = _restore(host_template)
         return jax.tree_util.tree_map(
             lambda host, like: _device_put_like(host, like), restored, template
         )

@@ -661,4 +661,9 @@ def fit(
             os.path.join(cfg.train.plot_dir, f"{stem}_acc.jpg"),
         )
 
+    if checkpoint_manager is not None and hasattr(checkpoint_manager, "wait"):
+        # Async checkpoint writes overlap training epochs; drain the last
+        # in-flight write so callers (test phase, ensemble stacking) never
+        # race a half-committed "best".
+        checkpoint_manager.wait()
     return state, FitResult(train_hist, val_hist, best_acc, best_epoch)

@@ -160,9 +160,9 @@ def run_variant(name: str, seed: int, cfg: EDRLConfig, args):
         from edrl_tpu.train.checkpoint import CheckpointManager
 
         slug = name.replace(" ", "_").replace("(", "").replace(")", "")
-        CheckpointManager(
-            os.path.join(args.state_dir, f"{slug}_s{seed}")
-        ).save(state, name="final")
+        mgr = CheckpointManager(os.path.join(args.state_dir, f"{slug}_s{seed}"))
+        mgr.save(state, name="final")
+        mgr.wait()  # commit before the manager goes out of scope
     sweep_cfg = vcfg.replace(data=val_cfg)
     sweep = noise_sweep(sweep_cfg, state, sigmas=args.sigmas)
     return {

@@ -94,6 +94,31 @@ class TestCheckpoint:
         np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
         assert int(restored.step) == int(state.step)
 
+    def test_async_save_overlaps_and_survives_donation(self, cfg, tmp_path):
+        """The async save must snapshot before returning: donating the live
+        state's buffers right after save() (exactly what the next train step
+        does) must not corrupt the checkpoint; sync mode behaves the same."""
+        for sub, async_save in (("a", True), ("s", False)):
+            _, state = init_state(cfg, 7)
+            expected = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+            mgr = CheckpointManager(
+                str(tmp_path / f"ckpt_{sub}"), async_save=async_save
+            )
+            mgr.save(state, name="latest")
+            # Donate the state's buffers for real while the disk write may
+            # still be in flight — XLA reuses donated memory, so the save
+            # must have snapshotted to host before returning.
+            donate = jax.jit(
+                lambda p: jax.tree_util.tree_map(lambda x: x * 0.0, p),
+                donate_argnums=0,
+            )
+            jax.block_until_ready(donate(state.params))
+            mgr.wait()
+            _, template = init_state(cfg, 0)
+            restored = mgr.restore(template, "latest")
+            leaf_b = jax.tree_util.tree_leaves(restored.params)[0]
+            np.testing.assert_array_equal(expected, np.asarray(leaf_b))
+
     def test_restored_state_evaluates_identically(self, cfg, fitted, loaders, tmp_path):
         state, _ = fitted
         _, val_loader = loaders
