@@ -66,6 +66,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep an epoch_{N} checkpoint every N epochs so --test_epoch "
         "can evaluate that epoch (0 = best-only)",
     )
+    p.add_argument(
+        "--save_latest_every",
+        type=int,
+        default=0,
+        help="rolling 'latest' checkpoint every N epochs for preemption "
+        "resume (async write, overlaps training; 0 = off)",
+    )
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="restore the 'latest' checkpoint (if present) and continue "
+        "from the epoch derived from its step counter",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_model_shards", type=int, default=1)
     p.add_argument(
@@ -132,6 +145,8 @@ def config_from_args(args) -> EDRLConfig:
         plot_dir=getattr(args, "plot_dir", ""),
         student_t_every=getattr(args, "student_t_every", 0),
         save_every=getattr(args, "save_every", 0),
+        save_latest_every=getattr(args, "save_latest_every", 0),
+        resume=getattr(args, "resume", False),
         name=args.name,
         num_model_shards=args.num_model_shards,
         zero1=getattr(args, "zero1", False),
@@ -262,7 +277,26 @@ def main(argv=None):
         mesh = make_mesh(num_model=cfg.train.num_model_shards)
 
     if cfg.train.mode in ("train", "train&test"):
-        state, result = fit(cfg, train_loader, val_loader, mesh=mesh, checkpoint_manager=mgr)
+        state, initial_best = None, 0.0
+        if cfg.train.resume:
+            from edrl_tpu.train.trainer import resume_from_latest
+
+            resumed = resume_from_latest(cfg, mgr, train_loader)
+            if resumed is not None:
+                state, cfg, initial_best, done = resumed
+                emit(
+                    f"Resuming from latest (completed epoch {done}, "
+                    f"best {initial_best:.4f})"
+                )
+        state, result = fit(
+            cfg,
+            train_loader,
+            val_loader,
+            state=state,
+            mesh=mesh,
+            checkpoint_manager=mgr,
+            initial_best=initial_best,
+        )
         emit(f"Best val accuracy {result.best_acc:.4f} at epoch {result.best_epoch}")
     if cfg.train.mode in ("test", "train&test"):
         _, state = init_state(cfg, cfg.train.seed)

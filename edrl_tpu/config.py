@@ -189,6 +189,15 @@ class TrainConfig:
     # Enables ``--test_epoch`` to evaluate a specific historical epoch like
     # the reference's per-epoch .pth files (``fusion_train.py:517``).
     save_every: int = 0
+    # Rolling ``latest`` checkpoint every N epochs (0 = off) for preemption
+    # resume; writes overlap training (async checkpointer).  With --resume,
+    # the CLI restores ``latest`` and continues from the epoch derived from
+    # the checkpointed step counter (exact: deterministic per-epoch loader
+    # shuffles + step-folded PRNG make the resumed run step-identical to an
+    # uninterrupted one; only the host-side plateau tracker restarts).  The
+    # reference's --start_epoch reloads nothing (SURVEY section 5.4).
+    save_latest_every: int = 0
+    resume: bool = False
     # End-of-run loss/accuracy curve jpgs, written here when non-empty
     # (reference ``loss_plot``/``metrics_plot`` to results/plot/,
     # ``fusion_train.py:65-76,120-135,771-772``).

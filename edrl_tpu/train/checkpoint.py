@@ -71,6 +71,29 @@ class CheckpointManager:
             json.dump({"epoch": epoch, "accuracy": accuracy}, f)
         return path
 
+    def save_latest(self, state: TrainState, epoch: int) -> str:
+        """Rolling preemption checkpoint: ``latest`` + an advisory epoch tag.
+
+        Orbax's atomic temp-dir rename guarantees ``latest`` is always a
+        COMPLETE state (the previous one if a crash interrupts the in-flight
+        write) — but then ``latest.json`` (written immediately) can be ahead
+        of the directory's contents.  Resume therefore derives the completed
+        epoch from the restored state's ``step`` counter (exact: one step
+        per optimizer update, ``len(train_loader)`` per epoch) and treats
+        this tag as human-readable metadata only.
+        """
+        path = self.save(state, "latest")
+        with open(self._path("latest.json"), "w") as f:
+            json.dump({"epoch": epoch}, f)
+        return path
+
+    def latest_info(self) -> Optional[dict]:
+        meta = self._path("latest.json")
+        if not os.path.exists(meta) or not os.path.isdir(self._path("latest")):
+            return None
+        with open(meta) as f:
+            return json.load(f)
+
     def wait(self) -> None:
         """Block until any in-flight async save has been committed."""
         self._ckptr.wait_until_finished()

@@ -457,6 +457,36 @@ def _to_device(batch, mesh):
     return jax.tree_util.tree_map(jnp.asarray, batch)
 
 
+def resume_from_latest(cfg: EDRLConfig, checkpoint_manager, train_loader):
+    """Preemption resume: restore the rolling ``latest`` checkpoint and
+    compute where to continue.
+
+    Returns ``(state, cfg, initial_best, completed_epochs)`` with
+    ``cfg.train.start_epoch`` advanced past the completed epochs, or ``None``
+    when there is nothing to resume.  The completed-epoch count is derived
+    from the checkpointed step counter (one optimizer step per batch,
+    ``len(train_loader)`` per epoch) — exact even if a crash interrupted an
+    async ``latest`` write, because orbax's atomic rename means ``latest``
+    is always a complete (possibly one-epoch-older) state.  The resumed run
+    is step-identical to an uninterrupted one: the loader shuffles are
+    epoch-indexed and the train PRNG folds the checkpointed step
+    (``tests/test_train.py::TestResume``); only the host-side plateau
+    tracker restarts.  No reference analog — its ``--start_epoch`` reloads
+    nothing (SURVEY.md section 5.4)."""
+    if checkpoint_manager.latest_info() is None:
+        return None
+    _, template = init_state(cfg, cfg.train.seed)
+    state = checkpoint_manager.restore(template, "latest")
+    steps_per_epoch = max(1, len(train_loader))
+    done = int(state.step) // steps_per_epoch
+    best = checkpoint_manager.best_info()
+    initial_best = float(best["accuracy"]) if best else 0.0
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, start_epoch=done + 1)
+    )
+    return state, cfg, initial_best, done
+
+
 def fit(
     cfg: EDRLConfig,
     train_loader,
@@ -465,9 +495,14 @@ def fit(
     mesh=None,
     checkpoint_manager=None,
     verbose: bool = True,
+    initial_best: float = 0.0,
 ) -> Tuple[TrainState, FitResult]:
     """The train&test loop (``fusion_train.py:754-772``): per-epoch train,
-    val on the low-noise view, best-accuracy checkpointing, CSV logging."""
+    val on the low-noise view, best-accuracy checkpointing, CSV logging.
+
+    ``initial_best``: the best-val-accuracy watermark to start from — set on
+    resume so a restored run does not overwrite a better pre-crash ``best``.
+    """
     cfg = _gate_pallas_under_mesh(cfg, mesh, verbose)
     model = make_model(cfg)
     tx = make_optimizer(cfg)
@@ -529,7 +564,7 @@ def fit(
             lr0, cfg.train.plateau_factor, cfg.train.plateau_patience
         )
 
-    best_acc, best_epoch = 0.0, -1
+    best_acc, best_epoch = initial_best, -1
     train_hist, val_hist = [], []
     for epoch in range(cfg.train.start_epoch, cfg.train.end_epochs + 1):
         loss_meter = AverageMeter()
@@ -614,6 +649,13 @@ def fit(
             and epoch % cfg.train.save_every == 0
         ):
             checkpoint_manager.save(state, name=f"epoch_{epoch}")
+        if (
+            checkpoint_manager is not None
+            and cfg.train.save_latest_every > 0
+            and epoch % cfg.train.save_latest_every == 0
+            and hasattr(checkpoint_manager, "save_latest")
+        ):
+            checkpoint_manager.save_latest(state, epoch)
         if plateau is not None:
             # "accuracy" negates so the min-mode tracker maximizes it (see
             # plateau_metric in config.py: the eval loss is dominated by the

@@ -132,6 +132,54 @@ class TestCheckpoint:
         np.testing.assert_allclose(p1, p2, rtol=1e-6)
 
 
+class TestResume:
+    def test_resume_is_step_identical_to_uninterrupted(self, cfg, loaders, tmp_path):
+        """Crash after epoch 2 of 4, resume_from_latest, finish — the final
+        params must equal the uninterrupted 4-epoch run's (epoch-indexed
+        loader shuffles + step-folded PRNG make resume exact)."""
+        import dataclasses
+
+        from edrl_tpu.train.trainer import resume_from_latest
+
+        train_loader, val_loader = loaders
+        base = cfg.replace(
+            train=dataclasses.replace(
+                cfg.train, end_epochs=4, save_latest_every=1, log_dir=""
+            )
+        )
+        state_a, _ = fit(base, train_loader, val_loader, verbose=False)
+
+        mgr = CheckpointManager(str(tmp_path / "resume_ckpt"))
+        half = base.replace(train=dataclasses.replace(base.train, end_epochs=2))
+        fit(half, train_loader, val_loader, checkpoint_manager=mgr, verbose=False)
+
+        # "Fresh process": resume from the rolling latest.
+        resumed = resume_from_latest(base, mgr, train_loader)
+        assert resumed is not None
+        state_r, rcfg, _, done = resumed
+        assert done == 2 and rcfg.train.start_epoch == 3
+        state_b, _ = fit(
+            rcfg, train_loader, val_loader, state=state_r,
+            checkpoint_manager=mgr, verbose=False,
+        )
+        assert int(state_b.step) == int(state_a.step)
+        for la, lb in zip(
+            jax.tree_util.tree_leaves(state_a.params),
+            jax.tree_util.tree_leaves(state_b.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(la, np.float32), np.asarray(lb, np.float32),
+                atol=1e-6, rtol=1e-6,
+            )
+
+    def test_resume_without_latest_returns_none(self, cfg, loaders, tmp_path):
+        from edrl_tpu.train.trainer import resume_from_latest
+
+        train_loader, _ = loaders
+        mgr = CheckpointManager(str(tmp_path / "empty_ckpt"))
+        assert resume_from_latest(cfg, mgr, train_loader) is None
+
+
 class TestMissingModality:
     def test_all_three_configurations(self, cfg, fitted, loaders):
         """BASELINE.json config 5: fundus-only / OCT-only / both must all run."""
