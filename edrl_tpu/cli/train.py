@@ -273,8 +273,14 @@ def main(argv=None):
 
     if len(jax.devices()) > 1:
         from edrl_tpu.parallel import make_mesh
+        from edrl_tpu.train.trainer import _gate_pallas_under_mesh
 
         mesh = make_mesh(num_model=cfg.train.num_model_shards)
+        # Gate HERE, not only inside fit(): the test phase below builds its
+        # eval program and restore template from this cfg, and the layout-
+        # changing flags (use_fused_mlp/use_fused_block_attention) must match
+        # the gated cfg the mesh checkpoint was trained and saved with.
+        cfg = _gate_pallas_under_mesh(cfg, mesh, verbose=True)
 
     if cfg.train.mode in ("train", "train&test"):
         state, initial_best = None, 0.0

@@ -195,9 +195,11 @@ class SelfAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        if self.use_fused_block_attention and (
-            self.dropout == 0.0 or deterministic
-        ):
+        # The branch must be STATIC (config-only): gating on `deterministic`
+        # would make train-time init create the unfused param layout while an
+        # eval apply requests the fused params (ScopeParamNotFoundError).
+        # With dropout>0 both modes therefore take the unfused path.
+        if self.use_fused_block_attention and self.dropout == 0.0:
             # v4: LN + qkv + attention + proj + residual in one Pallas
             # program (kernels/block_attention.py); W=1, bias-free (zeros).
             from edrl_tpu.kernels.block_attention import (

@@ -44,6 +44,31 @@ def _relative_position_index(window: int) -> np.ndarray:
     return rel.sum(-1)  # [w*w, w*w]
 
 
+def _rel_bias_from_table(table, window: int, num_heads: int, dtype) -> jax.Array:
+    """[ (2w-1)^2, heads ] learned table -> [heads, n, n] additive bias (f32).
+
+    Bias lookup as a static one-hot matmul rather than a gather: the
+    gather's backward is a scatter-add with massively repeated indices
+    (n^2=20736 rows -> 529 table slots), traced at ~0.3 ms/step PER
+    BLOCK; the matmul transpose-backward runs on the MXU and the
+    one-hot literal is shared across blocks by XLA constant CSE.
+    One-hot/table operands follow the module dtype (not hard-coded bf16): in
+    f32 mode the learned table and its gradient stay exact, matching
+    the old gather path; the one-hot is exact in either dtype.
+    """
+    n = window * window
+    idx = _relative_position_index(window)
+    onehot = np.zeros((n * n, table.shape[0]), np.float32)
+    onehot[np.arange(n * n), idx.reshape(-1)] = 1.0
+    bias = jax.lax.dot_general(
+        jnp.asarray(onehot, dtype),
+        table.astype(dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(n, n, num_heads)
+    return bias.transpose(2, 0, 1)  # [heads, n, n]
+
+
 def _shift_attn_mask(grid: int, window: int, shift: int) -> np.ndarray:
     """Static additive mask [num_windows, w*w, w*w] for shifted windows."""
     img = np.zeros((grid, grid), dtype=np.int32)
@@ -112,24 +137,9 @@ class WindowAttention(nn.Module):
             nn.initializers.truncated_normal(0.02),
             ((2 * self.window - 1) ** 2, self.num_heads),
         )
-        idx = _relative_position_index(self.window)
-        # Bias lookup as a static one-hot matmul rather than a gather: the
-        # gather's backward is a scatter-add with massively repeated indices
-        # (n^2=20736 rows -> 529 table slots), traced at ~0.3 ms/step PER
-        # BLOCK; the matmul transpose-backward runs on the MXU and the
-        # one-hot literal is shared across blocks by XLA constant CSE.
-        # One-hot/table operands follow self.dtype (not hard-coded bf16): in
-        # f32 mode the learned table and its gradient stay exact, matching
-        # the old gather path; the one-hot is exact in either dtype.
-        onehot = np.zeros((n * n, table.shape[0]), np.float32)
-        onehot[np.arange(n * n), idx.reshape(-1)] = 1.0
-        bias = jax.lax.dot_general(
-            jnp.asarray(onehot, self.dtype),
-            table.astype(self.dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(n, n, self.num_heads)
-        bias = bias.transpose(2, 0, 1)  # [heads, n, n]
+        bias = _rel_bias_from_table(
+            table, self.window, self.num_heads, self.dtype
+        )  # [heads, n, n]
 
         if self.use_fused:
             from edrl_tpu.kernels.window_attention import window_attention_fused_v2
@@ -245,23 +255,15 @@ class SwinBlock(nn.Module):
         like use_fused_mlp does)."""
         from edrl_tpu.kernels.block_attention import attention_sublayer_fused
 
-        n = window * window
-        head_dim = self.dim // self.num_heads
-        scale = head_dim**-0.5
+        scale = (self.dim // self.num_heads) ** -0.5
         table = self.param(
             "rel_bias_table",
             nn.initializers.truncated_normal(0.02),
             ((2 * window - 1) ** 2, self.num_heads),
         )
-        idx = _relative_position_index(window)
-        onehot = np.zeros((n * n, table.shape[0]), np.float32)
-        onehot[np.arange(n * n), idx.reshape(-1)] = 1.0
-        bias = jax.lax.dot_general(
-            jnp.asarray(onehot, self.dtype),
-            table.astype(self.dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(n, n, self.num_heads).transpose(2, 0, 1)  # [H, N, N] f32
+        bias = _rel_bias_from_table(
+            table, window, self.num_heads, self.dtype
+        )  # [H, N, N] f32
 
         if shift > 0:
             xin = _shift_windows(xw, window, self.grid, -shift)

@@ -61,8 +61,14 @@ class Predictor:
         chunk_batches: int = 1,
         mesh=None,
     ):
-        from edrl_tpu.train.trainer import make_model
+        from edrl_tpu.train.trainer import _gate_pallas_under_mesh, make_model
 
+        # Same gate as fit(): pallas_call under jit-over-Mesh is not SPMD-
+        # partitionable.  Layout-changing flags (use_fused_mlp /
+        # use_fused_block_attention) imply mesh serving expects checkpoints
+        # trained under the mesh gate (unfused param layout) — as the gate's
+        # docstring documents for training resume.
+        cfg = _gate_pallas_under_mesh(cfg, mesh, verbose=False)
         self.cfg = cfg
         self.model = make_model(cfg)
         self.batch_size = cfg.data.eval_batch_size
@@ -208,9 +214,12 @@ class Predictor:
         from edrl_tpu.train.checkpoint import CheckpointManager
         from edrl_tpu.train.trainer import init_state
 
+        # One template serves every member: init_state(cfg, 0) is
+        # deterministic and a jitted full-model init costs ~13 s over the
+        # tunnel (CLAUDE.md) — don't pay it K times.
+        _, template = init_state(cfg, 0)
         states = []
         for directory in checkpoint_dirs:
-            _, template = init_state(cfg, 0)
             mgr = CheckpointManager(directory)
             name = "best" if mgr.best_info() is not None else "latest"
             states.append(mgr.restore(template, name))
@@ -226,6 +235,8 @@ class Predictor:
         n = fundus.shape[0]
         if oct_vol.shape[0] != n:
             raise ValueError("fundus/oct batch mismatch")
+        if n == 0:
+            return np.zeros((0, self.cfg.model.num_classes), np.float32)
         b, c = self.batch_size, self.chunk_batches
         pad = (-n) % b
         if pad:

@@ -67,6 +67,15 @@ class CheckpointManager:
 
     def save_best(self, state: TrainState, epoch: int, accuracy: float) -> str:
         path = self.save(state, "best")
+        # Publish the watermark only AFTER the async write commits: resume
+        # trusts best.json's accuracy as ``initial_best``, so a preemption
+        # must never leave best.json ahead of the ``best`` directory (the
+        # phantom watermark would permanently block better-than-actual
+        # epochs from being saved).  Best saves are rare (improvement only),
+        # so the blocking wait costs little; the remaining crash window
+        # (directory committed, json unwritten) errs in the benign
+        # direction — resume under-estimates and re-saves.
+        self._ckptr.wait_until_finished()
         with open(self._path("best.json"), "w") as f:
             json.dump({"epoch": epoch, "accuracy": accuracy}, f)
         return path

@@ -125,9 +125,11 @@ def evaluate_ensemble(
     output_path: str = "Metric.txt",
 ) -> Dict[str, float]:
     """Load member checkpoints, run the suite, write ``Metric.txt``."""
+    # One restore template for all members — init_state(cfg, 0) is
+    # deterministic and a jitted full-model init costs ~13 s on the tunnel.
+    _, template = init_state(cfg, 0)
     states = []
     for directory in checkpoint_dirs:
-        _, template = init_state(cfg, 0)
         mgr = CheckpointManager(directory)
         name = "best" if mgr.best_info() is not None else "latest"
         states.append(mgr.restore(template, name))

@@ -56,9 +56,9 @@ def _cfg_for(cfg: EDRLConfig, level: float, kind: str = "gaussian") -> EDRLConfi
 
 def _dataset_for(cfg: EDRLConfig, sigma: float, kind: str = "gaussian"):
     data_cfg = _cfg_for(cfg, sigma, kind).data
-    if cfg.data.dataset in ("synthetic", "synthetic_hard", "synthetic_fusion"):
-        from edrl_tpu.data import SYNTHETIC_DATASETS
+    from edrl_tpu.data import SYNTHETIC_DATASETS
 
+    if cfg.data.dataset in SYNTHETIC_DATASETS:
         return SYNTHETIC_DATASETS[cfg.data.dataset](data_cfg, mode="val")
     from edrl_tpu.data import GammaDataset
 

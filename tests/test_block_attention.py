@@ -127,6 +127,29 @@ class TestBackboneIntegration:
         )
 
 
+class TestStaticBranchSelection:
+    def test_dropout_keeps_param_layout_consistent_train_vs_eval(self, rng):
+        """With dropout>0 the fused flag must be ignored STATICALLY: the
+        param layout created by a train-mode init (deterministic=False) must
+        be the exact layout an eval-mode apply requests.  Regression for the
+        former `or deterministic` gate, which made eval request fused params
+        that train-mode init never created."""
+        from edrl_tpu.models.layers import SelfAttentionBlock
+
+        m = SelfAttentionBlock(
+            dim=32, num_heads=2, dropout=0.1, use_fused_block_attention=True,
+            dtype=jnp.float32,
+        )
+        x = jnp.asarray(rng.normal(size=(2, 16, 32)).astype(np.float32))
+        variables = m.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            x, deterministic=False,
+        )
+        assert "LayerNorm_0" in variables["params"]  # unfused layout
+        y = m.apply(variables, x, deterministic=True)  # must not raise
+        assert y.shape == x.shape
+
+
 class TestCustomVJP:
     @pytest.mark.parametrize("wb", [None, 1])
     def test_grads_match_reference_autodiff(self, rng, wb):

@@ -119,6 +119,39 @@ class TestCheckpoint:
             leaf_b = jax.tree_util.tree_leaves(restored.params)[0]
             np.testing.assert_array_equal(expected, np.asarray(leaf_b))
 
+    def test_best_watermark_published_after_commit(
+        self, cfg, tmp_path, monkeypatch
+    ):
+        """save_best must drain the async write BEFORE writing best.json:
+        resume trusts the watermark as initial_best, so it must never be
+        ahead of the committed ``best`` directory (a phantom watermark would
+        block better-than-actual epochs from ever being saved)."""
+        _, state = init_state(cfg, 3)
+        mgr = CheckpointManager(str(tmp_path / "bw"))
+
+        class FakeAsyncCkptr:
+            """Models the async contract: save() leaves a write in flight;
+            only wait_until_finished() commits it."""
+
+            pending = False
+            committed = False
+
+            def save(self, path, item, force=False):
+                self.pending = True
+
+            def wait_until_finished(self):
+                if self.pending:
+                    self.committed = True
+                    self.pending = False
+
+        fake = FakeAsyncCkptr()
+        monkeypatch.setattr(mgr, "_ckptr", fake)
+        mgr.save_best(state, epoch=1, accuracy=0.5)
+        # Regression: previously save_best returned (best.json written) with
+        # the async write still in flight.
+        assert fake.committed and not fake.pending
+        assert mgr.best_info() == {"epoch": 1, "accuracy": 0.5}
+
     def test_restored_state_evaluates_identically(self, cfg, fitted, loaders, tmp_path):
         state, _ = fitted
         _, val_loader = loaders
