@@ -25,9 +25,29 @@ LATE = "Multi_ResNet (late fusion)"
 
 
 def load(path):
+    """Load rows, restricted to ONE protocol (the most recent row's).
+
+    A .jsonl can accumulate rows from different sweep grids / sample counts
+    across re-runs; aggregating across them is exactly the silent mixing the
+    per-row protocol tag exists to prevent (KeyError on a missing sigma cell
+    at best).  The study driver filters in-memory on resume but leaves the
+    file intact, so the standalone tools must filter too.
+    """
+    raw = [json.loads(line) for line in open(path)]
+    current = raw[-1].get("protocol") if raw else None
+    dropped = sum(1 for r in raw if r.get("protocol") != current)
+    if dropped:
+        import sys
+
+        print(
+            f"(note: {dropped} row(s) from other protocols in {path} "
+            "excluded; aggregating the most recent protocol only)",
+            file=sys.stderr,
+        )
     by = {}
-    for line in open(path):
-        r = json.loads(line)
+    for r in raw:
+        if r.get("protocol") != current:
+            continue
         r["sweep"] = {
             m: {float(s): v for s, v in cells.items()}
             for m, cells in r["sweep"].items()
@@ -69,6 +89,92 @@ def fmt(t):
     return f"{mean:.3f}±{std:.3f}(n={n})" if n > 1 else f"{mean:.3f}(n=1)"
 
 
+def compute_claims(by) -> list:
+    """The headline claims, each recomputed from the aggregate.
+
+    Returns ``[(key, label, ok, detail), ...]``; claims whose variants are
+    missing from ``by`` are skipped.  Shared by the printed claim-check block
+    and the ``ok_<key>`` template placeholders so the analysis prose can
+    never assert a direction the data no longer supports.
+    """
+    checks = []
+
+    def claim(key, label, ok, detail):
+        checks.append((key, label, ok, detail))
+
+    # 1. MK-MMD = noise robustness: full EDRL both-modality accuracy holds
+    #    sigma 0 -> 0.5 while -MMD collapses.
+    if FULL in by and NOMMD in by:
+        f0 = agg(by, FULL, cell("both", 0.0, "accuracy"))
+        f5 = agg(by, FULL, cell("both", 0.5, "accuracy"))
+        m0 = agg(by, NOMMD, cell("both", 0.0, "accuracy"))
+        m5 = agg(by, NOMMD, cell("both", 0.5, "accuracy"))
+        claim(
+            "mmd_robustness",
+            "MMD robustness: full acc holds under sigma, -MMD drops",
+            (f5[0] >= f0[0] - 0.05) and (m5[0] < m0[0] - 0.10),
+            f"full {fmt(f0)}->{fmt(f5)}  -MMD {fmt(m0)}->{fmt(m5)}",
+        )
+
+    # 2. EPRL = per-modality discriminability (single-modality AUC).
+    #    Pairwise claims require the aggregate direction AND a paired-seed
+    #    majority — a higher mean with split per-seed signs (the oct-only
+    #    cell's history) is "within noise", not a supported claim.
+    if FULL in by and NOEPRL in by:
+        for mod, key in (("fundus-only", "eprl_fundus"), ("oct-only", "eprl_oct")):
+            fa = agg(by, FULL, cell(mod, 0.0, "auc"))
+            ea = agg(by, NOEPRL, cell(mod, 0.0, "auc"))
+            wins, n, _ = paired(by, FULL, NOEPRL, cell(mod, 0.0, "auc"))
+            claim(
+                key,
+                f"EPRL keeps {mod} AUC above -EPRL",
+                fa[0] > ea[0] and wins * 2 > n,
+                f"full {fmt(fa)} vs -EPRL {fmt(ea)}, {wins}/{n} paired wins",
+            )
+
+    # 3. DILR = the fundus pathway (fundus-only AUC drops without it).
+    if FULL in by and NODILR in by:
+        fa = agg(by, FULL, cell("fundus-only", 0.0, "auc"))
+        da = agg(by, NODILR, cell("fundus-only", 0.0, "auc"))
+        wins, n, _ = paired(by, FULL, NODILR, cell("fundus-only", 0.0, "auc"))
+        claim(
+            "dilr_fundus",
+            "DILR keeps fundus-only AUC above -DILR",
+            fa[0] > da[0] and wins * 2 > n,
+            f"full {fmt(fa)} vs -DILR {fmt(da)}, {wins}/{n} paired wins",
+        )
+
+    # 4. Late fusion: fundus pathway at/below chance; both == oct-only.
+    if LATE in by:
+        lf = agg(by, LATE, cell("fundus-only", 0.0, "auc"))
+        lb = agg(by, LATE, cell("both", 0.0, "auc"))
+        lo = agg(by, LATE, cell("oct-only", 0.0, "auc"))
+        claim(
+            "late_fundus_chance",
+            "late fusion fundus-only AUC ~ chance",
+            lf[0] < 0.60,
+            f"Multi_ResNet fundus-only {fmt(lf)}",
+        )
+        claim(
+            "late_both_eq_oct",
+            "late fusion both ~ oct-only (single-modality model in disguise)",
+            abs(lb[0] - lo[0]) < 0.05,
+            f"both {fmt(lb)} vs oct-only {fmt(lo)}",
+        )
+
+    # 5. Memorization: late fusion final train loss << full EDRL's.
+    if LATE in by and FULL in by:
+        lt = agg(by, LATE, lambda r: r["final_train_loss"])
+        ft = agg(by, FULL, lambda r: r["final_train_loss"])
+        claim(
+            "late_memorizes",
+            "late fusion memorizes (train loss << full EDRL)",
+            lt[0] < ft[0] / 3,
+            f"Multi_ResNet {fmt(lt)} vs full {fmt(ft)}",
+        )
+    return checks
+
+
 def compute_aggregates(by) -> dict:
     """Named aggregate values for the ABLATION_ANALYSIS.md template.
 
@@ -101,6 +207,20 @@ def compute_aggregates(by) -> dict:
         vals[f"{key}_train_loss"] = fmt(
             agg(by, name, lambda r: r["final_train_loss"])
         )
+        # Signed mean per-seed sigma delta for the both-modality accuracy
+        # sweep: lets the prose report the DIRECTION as data ("Δ +0.023")
+        # instead of asserting "holds"/"drops" in static text that a new
+        # seed could contradict.
+        if all(
+            0.5 in r["sweep"]["both"] and 0.0 in r["sweep"]["both"]
+            for r in by[name]
+        ):
+            deltas = [
+                r["sweep"]["both"][0.5]["accuracy"]
+                - r["sweep"]["both"][0.0]["accuracy"]
+                for r in by[name]
+            ]
+            vals[f"{key}_both_acc_dsig"] = f"{np.mean(deltas):+.3f}"
     # Fusion-protocol aggregates: per-seed clean-accuracy advantage
     # both(σ=0) − max(fundus-only, oct-only)(σ=0), and the best unimodal
     # cell itself (the honest reference for what "unimodal" achieves).
@@ -138,6 +258,36 @@ def compute_aggregates(by) -> dict:
             wins, n, detail = paired(by, a, b, f)
             vals[key] = f"{wins}/{n}"
             vals[key + "_detail"] = detail
+    # Live claim verdicts: the analysis prose embeds these instead of
+    # asserting a direction statically (a new seed can flip a claim; the
+    # prose must flip with it).
+    for key, _label, ok, _detail in compute_claims(by):
+        vals[f"ok_{key}"] = "holds" if ok else "NOT supported at current n"
+    # The round-2 oct-only EPRL claim: provisionally withdrawn at n=2, so
+    # the whole verdict sentence is recomputed from the live aggregate.
+    if FULL in by and NOEPRL in by:
+        wins, n, detail = paired(by, FULL, NOEPRL, cell("oct-only", 0.0, "auc"))
+        fa = agg(by, FULL, cell("oct-only", 0.0, "auc"))
+        ea = agg(by, NOEPRL, cell("oct-only", 0.0, "auc"))
+        supported = fa[0] > ea[0] and wins * 2 > n
+        if supported:
+            vals["eprl_oct_verdict"] = (
+                "**The oct-only EPRL effect currently holds** (full "
+                f"{fmt(fa)} vs `-EPRL` {fmt(ea)}, {wins}/{n} paired wins; "
+                f"per-seed deltas [{detail}]). It was provisionally "
+                "withdrawn when an earlier seed pass put it within noise; "
+                "this verdict sentence is recomputed from the live "
+                "aggregate, so it reflects the current seed count."
+            )
+        else:
+            vals["eprl_oct_verdict"] = (
+                "**One round-2 claim did not survive seeds and is "
+                "withdrawn.** The oct-only EPRL effect is within noise "
+                f"(full {fmt(fa)} vs `-EPRL` {fmt(ea)}, {wins}/{n} paired "
+                f"wins; per-seed deltas [{detail}]). The seed-0 table had "
+                "shown a clean win; more seeds show it was luck. (This "
+                "verdict sentence is recomputed from the live aggregate.)"
+            )
     return vals
 
 
@@ -147,67 +297,9 @@ def main(argv=None):
     args = p.parse_args(argv)
     by = load(args.jsonl)
     print("records:", {k: len(v) for k, v in by.items()})
-    checks = []
+    checks = compute_claims(by)
 
-    def claim(label, ok, detail):
-        checks.append((label, ok, detail))
-
-    # 1. MK-MMD = noise robustness: full EDRL both-modality accuracy holds
-    #    sigma 0 -> 0.5 while -MMD collapses.
-    f0 = agg(by, FULL, cell("both", 0.0, "accuracy"))
-    f5 = agg(by, FULL, cell("both", 0.5, "accuracy"))
-    m0 = agg(by, NOMMD, cell("both", 0.0, "accuracy"))
-    m5 = agg(by, NOMMD, cell("both", 0.5, "accuracy"))
-    claim(
-        "MMD robustness: full acc holds under sigma, -MMD drops",
-        (f5[0] >= f0[0] - 0.05) and (m5[0] < m0[0] - 0.10),
-        f"full {fmt(f0)}->{fmt(f5)}  -MMD {fmt(m0)}->{fmt(m5)}",
-    )
-
-    # 2. EPRL = per-modality discriminability (single-modality AUC).
-    for mod in ("fundus-only", "oct-only"):
-        fa = agg(by, FULL, cell(mod, 0.0, "auc"))
-        ea = agg(by, NOEPRL, cell(mod, 0.0, "auc"))
-        claim(
-            f"EPRL keeps {mod} AUC above -EPRL",
-            fa[0] > ea[0],
-            f"full {fmt(fa)} vs -EPRL {fmt(ea)}",
-        )
-
-    # 3. DILR = the fundus pathway (fundus-only AUC drops without it).
-    fa = agg(by, FULL, cell("fundus-only", 0.0, "auc"))
-    da = agg(by, NODILR, cell("fundus-only", 0.0, "auc"))
-    claim(
-        "DILR keeps fundus-only AUC above -DILR",
-        fa[0] > da[0],
-        f"full {fmt(fa)} vs -DILR {fmt(da)}",
-    )
-
-    # 4. Late fusion: fundus pathway at/below chance; both == oct-only.
-    lf = agg(by, LATE, cell("fundus-only", 0.0, "auc"))
-    lb = agg(by, LATE, cell("both", 0.0, "auc"))
-    lo = agg(by, LATE, cell("oct-only", 0.0, "auc"))
-    claim(
-        "late fusion fundus-only AUC ~ chance",
-        lf[0] < 0.60,
-        f"Multi_ResNet fundus-only {fmt(lf)}",
-    )
-    claim(
-        "late fusion both ~ oct-only (single-modality model in disguise)",
-        abs(lb[0] - lo[0]) < 0.05,
-        f"both {fmt(lb)} vs oct-only {fmt(lo)}",
-    )
-
-    # 5. Memorization: late fusion final train loss << full EDRL's.
-    lt = agg(by, LATE, lambda r: r["final_train_loss"])
-    ft = agg(by, FULL, lambda r: r["final_train_loss"])
-    claim(
-        "late fusion memorizes (train loss << full EDRL)",
-        lt[0] < ft[0] / 3,
-        f"Multi_ResNet {fmt(lt)} vs full {fmt(ft)}",
-    )
-
-    # 6. The unfavorable cells, restated from the aggregate (no pass/fail —
+    # The unfavorable cells, restated from the aggregate (no pass/fail —
     #    these exist so the write-up quotes them, not hides them).
     for name in (FULL, NOMMD, NOEPRL, NODILR, LATE):
         if name in by:
@@ -235,7 +327,7 @@ def main(argv=None):
 
     print()
     bad = 0
-    for label, ok, detail in checks:
+    for _key, label, ok, detail in checks:
         print(f"[{'OK ' if ok else 'FAIL'}] {label}\n       {detail}")
         bad += 0 if ok else 1
     print(f"\n{len(checks) - bad}/{len(checks)} claims supported by the aggregate")

@@ -30,9 +30,15 @@ import numpy as np
 
 
 def load(path):
+    """Load rows keyed by (name, seed), restricted to ONE protocol (the most
+    recent row's) — mixed-grid rows from older re-runs must not silently
+    overwrite or pair against the current study (see ablation_claims.load)."""
+    raw = [json.loads(line) for line in open(path)]
+    current = raw[-1].get("protocol") if raw else None
     by = {}
-    for line in open(path):
-        r = json.loads(line)
+    for r in raw:
+        if r.get("protocol") != current:
+            continue
         by[(r["name"], r.get("seed", 0))] = r
     return by
 

@@ -447,16 +447,20 @@ def main(argv=None):
     jsonl = args.output + ".jsonl"
     rows = []
     done = set()
+    stale_lines = []
     if os.path.exists(jsonl):
+        keep_lines = []
         with open(jsonl) as f:
             for line in f:
                 r = json.loads(line)
                 if r.get("protocol") != proto:
                     print(
-                        f"(stale row dropped: {r['name']} seed="
+                        f"(stale row archived: {r['name']} seed="
                         f"{r.get('seed')} — protocol mismatch)", flush=True,
                     )
+                    stale_lines.append(line)
                     continue
+                keep_lines.append(line)
                 # JSON stringifies the float sigma keys; restore them.
                 r["sweep"] = {
                     m: {float(s): v for s, v in cells.items()}
@@ -464,6 +468,14 @@ def main(argv=None):
                 }
                 rows.append(r)
                 done.add((r["name"], r["seed"]))
+        if stale_lines:
+            # Compact the live file so the standalone tools (ablation_claims
+            # / ablation_generalization_gap) never see mixed grids; the
+            # stale rows are preserved in a sidecar, not destroyed.
+            with open(jsonl + ".stale", "a") as f:
+                f.writelines(stale_lines)
+            with open(jsonl, "w") as f:
+                f.writelines(keep_lines)
     variants = tuple(args.variants or VARIANTS)
     # Seed-major order: the first pass yields a complete single-seed table
     # for every variant (and pays all the compiles); later passes add spread.
