@@ -341,7 +341,12 @@ def to_markdown(rows, sigmas, variants=VARIANTS, protocol="hard") -> str:
                     text = f.read()
                 text = re.sub(
                     r"\{\{(\w+)\}\}",
-                    lambda m: str(vals.get(m.group(1), m.group(0))),
+                    # Aggregates missing from a partial study (variant not
+                    # yet run) render as a visible pending marker, not a raw
+                    # template token — mid-study snapshots stay presentable.
+                    lambda m: str(
+                        vals.get(m.group(1), f"*(pending: {m.group(1)})*")
+                    ),
                     text,
                 )
                 lines += ["", text]
@@ -401,7 +406,11 @@ def to_markdown(rows, sigmas, variants=VARIANTS, protocol="hard") -> str:
             vals = ablation_claims.compute_aggregates(by)
             text = re.sub(
                 r"\{\{(\w+)\}\}",
-                lambda m: str(vals.get(m.group(1), m.group(0))),
+                # Missing aggregates (variant not yet run in a partial
+                # study) render as a visible pending marker.
+                lambda m: str(
+                    vals.get(m.group(1), f"*(pending: {m.group(1)})*")
+                ),
                 text,
             )
         except Exception:  # pragma: no cover - template stays literal
