@@ -204,7 +204,8 @@ PROTOCOL_BLURB = {
 }
 
 
-def to_markdown(rows, sigmas, variants=VARIANTS, protocol="hard") -> str:
+def to_markdown(rows, sigmas, variants=VARIANTS, protocol="hard",
+                analysis_path=None) -> str:
     import numpy as np
 
     by_name = {}
@@ -318,7 +319,11 @@ def to_markdown(rows, sigmas, variants=VARIANTS, protocol="hard") -> str:
         # Hand-written commentary survives re-renders the same way the hard
         # protocol's analysis does: appended from a sibling file, with
         # {{placeholder}} aggregates rendered from the rows when available.
-        fusion_analysis = os.path.join(
+        # Analysis commentary is keyed to the OUTPUT file, not just the
+        # protocol: a non-default output (e.g. the long-budget study,
+        # ABLATION_FUSION_LONG.md) gets its own <stem>_ANALYSIS.md so its
+        # table is not narrated by the default study's caveats.
+        fusion_analysis = analysis_path or os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "..", "ABLATION_FUSION_ANALYSIS.md",
         )
@@ -444,6 +449,11 @@ def main(argv=None):
             "ABLATION.md" if args.protocol == "hard" else "ABLATION_FUSION.md"
         )
     args.sigmas = tuple(args.sigmas)
+    # Commentary appendix lives next to the output (ABLATION_FUSION.md ->
+    # ABLATION_FUSION_ANALYSIS.md, ABLATION_FUSION_LONG.md -> ..._LONG_
+    # ANALYSIS.md).  to_markdown skips the appendix if the file is absent —
+    # a custom output never inherits the default study's narrative.
+    analysis = os.path.splitext(args.output)[0] + "_ANALYSIS.md"
     proto = protocol_of(args)
 
     cfg = base_config(args)
@@ -519,9 +529,10 @@ def main(argv=None):
             # Re-render after every run so a killed study still leaves the
             # freshest table on disk.
             with open(args.output, "w") as f:
-                f.write(to_markdown(rows, args.sigmas, variants, args.protocol))
+                f.write(to_markdown(rows, args.sigmas, variants,
+                                    args.protocol, analysis))
 
-    md = to_markdown(rows, args.sigmas, variants, args.protocol)
+    md = to_markdown(rows, args.sigmas, variants, args.protocol, analysis)
     with open(args.output, "w") as f:
         f.write(md)
     print(md)

@@ -197,3 +197,55 @@ class TestMmdWeightAblation:
         md = mod.to_markdown(all_rows, sigmas, protocol="fusion")
         assert "Reading the fusion-protocol table" in md
         assert "{{" not in md, md[md.find("{{") - 80 : md.find("{{") + 120]
+
+    def test_output_keyed_analysis_appendix(self, tmp_path):
+        """A non-default --output gets its own <stem>_ANALYSIS.md appendix
+        (or none at all if absent) — never the default study's narrative.
+        Also renders the committed LONG analysis, asserting every
+        {{placeholder}} it quotes resolves from full+late rows alone."""
+        import importlib.util
+        import os
+
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        spec = importlib.util.spec_from_file_location(
+            "ablation_study", os.path.join(repo, "scripts", "ablation_study.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        sigmas = (0.0, 0.5)
+        def row(name, seed):
+            return {
+                "name": name, "seed": seed, "best_val_acc": 0.9,
+                "final_train_loss": 0.5, "train_time_s": 10.0,
+                "sweep": {
+                    m: {s: {"accuracy": 0.8, "auc": 0.8} for s in sigmas}
+                    for m in ("both", "fundus-only", "oct-only")
+                },
+            }
+
+        rows = [
+            row(n, s)
+            for n in ("MedFusion (full EDRL)", "Multi_ResNet (late fusion)")
+            for s in (0, 1)
+        ]
+        # explicit path -> that appendix, not the default one
+        custom = tmp_path / "CUSTOM_ANALYSIS.md"
+        custom.write_text("CUSTOM APPENDIX {{val_acc_full}}")
+        md = mod.to_markdown(rows, sigmas, protocol="fusion",
+                             analysis_path=str(custom))
+        assert "CUSTOM APPENDIX 0.900" in md
+        assert "Reading the fusion-protocol table" not in md
+        # nonexistent path -> no appendix at all (not the default fallback)
+        md = mod.to_markdown(rows, sigmas, protocol="fusion",
+                             analysis_path=str(tmp_path / "MISSING.md"))
+        assert "Reading the fusion-protocol table" not in md
+        # the committed long-budget analysis resolves with full+late only
+        long_analysis = os.path.join(repo, "ABLATION_FUSION_LONG_ANALYSIS.md")
+        md = mod.to_markdown(rows, sigmas, protocol="fusion",
+                             analysis_path=long_analysis)
+        assert "training-budget hypothesis" in md
+        assert "{{" not in md, md[md.find("{{") - 80 : md.find("{{") + 120]
+        assert "*(pending:" not in md, md[
+            md.find("*(pending:") - 80 : md.find("*(pending:") + 120
+        ]
