@@ -205,7 +205,7 @@ PROTOCOL_BLURB = {
 
 
 def to_markdown(rows, sigmas, variants=VARIANTS, protocol="hard",
-                analysis_path=None) -> str:
+                analysis_path=None, extra_md=None) -> str:
     import numpy as np
 
     by_name = {}
@@ -357,6 +357,8 @@ def to_markdown(rows, sigmas, variants=VARIANTS, protocol="hard",
                 lines += ["", text]
             except Exception as e:  # pragma: no cover - advisory only
                 lines += [f"(fusion analysis unavailable: {e})", ""]
+        if extra_md:
+            lines += ["", extra_md, ""]
         return "\n".join(lines)
     # Live claim check: recompute the analysis claims from these rows so
     # the committed table always carries the paired-seed evidence in sync
@@ -454,6 +456,33 @@ def main(argv=None):
     # ANALYSIS.md).  to_markdown skips the appendix if the file is absent —
     # a custom output never inherits the default study's narrative.
     analysis = os.path.splitext(args.output)[0] + "_ANALYSIS.md"
+
+    def budget_section():
+        """25-vs-75-epoch paired comparison, appended to the LONG table's
+        render once both studies have rows (scripts/ablation_budget_gap.py).
+        Recomputed at every re-render so the section tracks the jsonl."""
+        if not os.path.splitext(args.output)[0].endswith("_LONG"):
+            return None
+        short_jsonl = args.output.replace("_LONG", "") + ".jsonl"
+        if not (os.path.exists(short_jsonl)
+                and os.path.exists(args.output + ".jsonl")):
+            return None
+        try:
+            import contextlib
+            import io
+
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            import ablation_budget_gap
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                ablation_budget_gap.main(
+                    ["--short", short_jsonl, "--long", args.output + ".jsonl"]
+                )
+            return buf.getvalue().rstrip()
+        except Exception as e:  # pragma: no cover - advisory section only
+            return f"(budget comparison unavailable: {e})"
+
     proto = protocol_of(args)
 
     cfg = base_config(args)
@@ -530,9 +559,11 @@ def main(argv=None):
             # freshest table on disk.
             with open(args.output, "w") as f:
                 f.write(to_markdown(rows, args.sigmas, variants,
-                                    args.protocol, analysis))
+                                    args.protocol, analysis,
+                                    budget_section()))
 
-    md = to_markdown(rows, args.sigmas, variants, args.protocol, analysis)
+    md = to_markdown(rows, args.sigmas, variants, args.protocol, analysis,
+                     budget_section())
     with open(args.output, "w") as f:
         f.write(md)
     print(md)

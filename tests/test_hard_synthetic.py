@@ -249,3 +249,68 @@ class TestMmdWeightAblation:
         assert "*(pending:" not in md, md[
             md.find("*(pending:") - 80 : md.find("*(pending:") + 120
         ]
+        # extra_md (the budget-gap section hook) lands after the appendix
+        md = mod.to_markdown(rows, sigmas, protocol="fusion",
+                             analysis_path=str(tmp_path / "MISSING.md"),
+                             extra_md="## Budget effect: TEST SENTINEL")
+        assert "## Budget effect: TEST SENTINEL" in md
+
+    def test_budget_gap_tool(self, tmp_path):
+        """ablation_budget_gap pairs (variant, seed) rows across the
+        25-epoch and 75-epoch studies, and refuses to compare studies that
+        differ in anything besides epochs."""
+        import contextlib
+        import importlib.util
+        import io
+        import json
+        import os
+
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        spec = importlib.util.spec_from_file_location(
+            "ablation_budget_gap",
+            os.path.join(repo, "scripts", "ablation_budget_gap.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        def row(name, seed, epochs, val, loss, both, uni, lr=3e-5):
+            return {
+                "name": name, "seed": seed, "best_val_acc": val,
+                "final_train_loss": loss,
+                "protocol": {"protocol": "fusion", "epochs": epochs,
+                             "lr": lr},
+                "sweep": {
+                    "both": {"0.0": {"accuracy": both, "auc": both}},
+                    "fundus-only": {"0.0": {"accuracy": uni, "auc": uni}},
+                    "oct-only": {"0.0": {"accuracy": uni, "auc": uni}},
+                },
+            }
+
+        short = tmp_path / "S.jsonl"
+        long_ = tmp_path / "L.jsonl"
+        with open(short, "w") as f:
+            for s in (0, 1):
+                f.write(json.dumps(
+                    row("MedFusion (full EDRL)", s, 25, 0.55, 2.0, 0.54,
+                        0.52)) + "\n")
+        with open(long_, "w") as f:
+            for s in (0, 1):
+                f.write(json.dumps(
+                    row("MedFusion (full EDRL)", s, 75, 0.75, 0.3, 0.80,
+                        0.60)) + "\n")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            mod.main(["--short", str(short), "--long", str(long_)])
+        out = buf.getvalue()
+        assert "Budget effect: 25 vs 75 epochs" in out
+        assert "+0.200±0.000" in out  # paired val-acc delta
+        assert "+0.200" in out  # advantage long: 0.80 - 0.60
+        # guard: lr differs -> refuse
+        with open(long_, "w") as f:
+            f.write(json.dumps(
+                row("MedFusion (full EDRL)", 0, 75, 0.75, 0.3, 0.80, 0.60,
+                    lr=1e-4)) + "\n")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            mod.main(["--short", str(short), "--long", str(long_)])
+        assert "skipped: studies differ beyond epochs" in buf.getvalue()
