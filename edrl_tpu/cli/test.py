@@ -14,6 +14,27 @@ import numpy as np
 from edrl_tpu.cli.train import build_parser, config_from_args, make_loaders
 
 
+def resolve_sweep_levels(
+    sweep, kind, sweep_levels, sp_sweep_levels, default_sigmas, default_sp
+):
+    """Per-kind corruption grid for ``--sweep``.
+
+    ``--sweep_levels`` overrides the gaussian grid; with ``--sweep all`` it
+    must NOT leak into the salt-pepper kind (sigma 0.25-0.5 read as a
+    corrupted-pixel fraction is an order of magnitude past the protocol's
+    0.001-0.05 grid — degenerate cells that silently poison the table).
+    ``--sp_sweep_levels`` overrides salt-pepper explicitly; a bare
+    ``--sweep salt_pepper --sweep_levels ...`` still honors ``sweep_levels``
+    (single-kind invocations are unambiguous).
+    """
+    if kind == "gaussian":
+        return tuple(sweep_levels or default_sigmas)
+    explicit = (
+        sp_sweep_levels if sweep == "all" else (sp_sweep_levels or sweep_levels)
+    )
+    return tuple(explicit or default_sp)
+
+
 def main(argv=None):
     from edrl_tpu.cli.train import _enable_compile_cache
 
@@ -32,7 +53,19 @@ def main(argv=None):
         type=float,
         nargs="+",
         default=None,
-        help="corruption levels for --sweep (default: per-kind grid)",
+        help="corruption levels for --sweep (default: per-kind grid). "
+        "With --sweep all this overrides the gaussian grid only — sigma "
+        "and corrupted-pixel-fraction scales differ by ~10x, so a shared "
+        "list would be nonsense for one of them; use --sp_sweep_levels "
+        "for the salt-pepper grid",
+    )
+    parser.add_argument(
+        "--sp_sweep_levels",
+        type=float,
+        nargs="+",
+        default=None,
+        help="salt-pepper corrupted-pixel fractions for --sweep "
+        "salt_pepper/all (default: DEFAULT_SP_LEVELS)",
     )
     parser.add_argument(
         "--mc_samples",
@@ -119,9 +152,9 @@ def main(argv=None):
             else (args.sweep,)
         )
         for kind in kinds:
-            levels = tuple(
-                args.sweep_levels
-                or (DEFAULT_SIGMAS if kind == "gaussian" else DEFAULT_SP_LEVELS)
+            levels = resolve_sweep_levels(
+                args.sweep, kind, args.sweep_levels, args.sp_sweep_levels,
+                DEFAULT_SIGMAS, DEFAULT_SP_LEVELS,
             )
             res = noise_sweep(cfg, state, sigmas=levels, kind=kind)
             emit(f"Robustness sweep [{kind}]:")

@@ -199,7 +199,10 @@ def _v4_fwd(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
         x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
         num_heads, scale, interpret,
     )
-    return y, (x, xln, qkv, gamma, wqkv, wproj, bias)
+    # bqkv/bproj are carried only for their dtypes: the bias cotangents must
+    # match the bias primals (f32 params even in bf16 mode), not the weights'
+    # dtype — casting an f32 bias grad to bf16 silently quantizes it.
+    return y, (x, xln, qkv, gamma, wqkv, bqkv, wproj, bproj, bias)
 
 
 def _v4_bwd(num_heads, scale, interpret, res, dy):
@@ -210,7 +213,7 @@ def _v4_bwd(num_heads, scale, interpret, res, dy):
     per-program accumulations (the fused-MLP failure mode).  The v2 entry
     points are the transpose-free column-block flavor, so the backward adds
     zero head-split layout copies."""
-    x, xln, qkv, gamma, wqkv, wproj, bias = res
+    x, xln, qkv, gamma, wqkv, bqkv, wproj, bproj, bias = res
     B, W, N, C = x.shape
     H = num_heads
     f32 = jnp.float32
@@ -226,7 +229,7 @@ def _v4_bwd(num_heads, scale, interpret, res, dy):
     dwproj = jnp.einsum(
         "bwnc,bwnk->ck", o.astype(f32), dy32, preferred_element_type=f32
     ).astype(wproj.dtype)
-    dbproj = jnp.sum(dy32, axis=(0, 1, 2)).astype(wproj.dtype)
+    dbproj = jnp.sum(dy32, axis=(0, 1, 2)).astype(bproj.dtype)
     do = jnp.einsum(
         "bwnk,ck->bwnc", dy, wproj, preferred_element_type=f32
     ).astype(dy.dtype)
@@ -237,7 +240,7 @@ def _v4_bwd(num_heads, scale, interpret, res, dy):
     dwqkv = jnp.einsum(
         "bwnc,bwnk->ck", xln.astype(f32), dqkv, preferred_element_type=f32
     ).astype(wqkv.dtype)
-    dbqkv = jnp.sum(dqkv, axis=(0, 1, 2)).astype(wqkv.dtype)
+    dbqkv = jnp.sum(dqkv, axis=(0, 1, 2)).astype(bqkv.dtype)
     dxln = jnp.einsum(
         "bwnk,ck->bwnc", dqkv, wqkv.astype(f32), preferred_element_type=f32
     )

@@ -111,17 +111,12 @@ class Predictor:
         if self.num_members == 1:
             self.variables, self.scales = member_vars[0], member_scales[0]
         else:
-            # Leaf-wise stack onto a leading [K] axis; members share an
-            # architecture by construction so the pytrees are congruent
-            # (same trick as train.ensemble.stack_member_states).
-            self.variables = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *member_vars
-            )
-            self.scales = (
-                jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *member_scales)
-                if quantize_int8
-                else {}
-            )
+            # Members share an architecture by construction so the pytrees
+            # are congruent and the K forwards can run as ONE vmapped program.
+            from edrl_tpu.train.ensemble import stack_pytrees
+
+            self.variables = stack_pytrees(member_vars)
+            self.scales = stack_pytrees(member_scales) if quantize_int8 else {}
 
         if mesh is not None:
             from edrl_tpu.parallel.mesh import infer_param_shardings, replicated
@@ -196,13 +191,16 @@ class Predictor:
         name: Optional[str] = None,
         **kwargs,
     ) -> "Predictor":
+        from edrl_tpu.train.ensemble import restore_members
+
+        if name is None:  # best-else-latest, shared with the ensemble path
+            return cls(cfg, restore_members(cfg, [checkpoint_dir])[0], **kwargs)
+
         from edrl_tpu.train.checkpoint import CheckpointManager
         from edrl_tpu.train.trainer import init_state
 
         _, template = init_state(cfg, 0)
         mgr = CheckpointManager(checkpoint_dir)
-        if name is None:
-            name = "best" if mgr.best_info() is not None else "latest"
         return cls(cfg, mgr.restore(template, name), **kwargs)
 
     @classmethod
@@ -211,19 +209,9 @@ class Predictor:
     ) -> "Predictor":
         """Deep-ensemble predictor from K member checkpoint dirs
         (the serving counterpart of ``train.ensemble.evaluate_ensemble``)."""
-        from edrl_tpu.train.checkpoint import CheckpointManager
-        from edrl_tpu.train.trainer import init_state
+        from edrl_tpu.train.ensemble import restore_members
 
-        # One template serves every member: init_state(cfg, 0) is
-        # deterministic and a jitted full-model init costs ~13 s over the
-        # tunnel (CLAUDE.md) — don't pay it K times.
-        _, template = init_state(cfg, 0)
-        states = []
-        for directory in checkpoint_dirs:
-            mgr = CheckpointManager(directory)
-            name = "best" if mgr.best_info() is not None else "latest"
-            states.append(mgr.restore(template, name))
-        return cls(cfg, states, **kwargs)
+        return cls(cfg, restore_members(cfg, checkpoint_dirs), **kwargs)
 
     def predict_probs(self, fundus: np.ndarray, oct_vol: np.ndarray) -> np.ndarray:
         """Probabilities ``[N, num_classes]`` for N pairs.

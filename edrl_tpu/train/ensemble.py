@@ -23,6 +23,13 @@ from edrl_tpu.train.checkpoint import CheckpointManager
 from edrl_tpu.train.trainer import TrainState, _normalize_output, init_state
 
 
+def stack_pytrees(trees):
+    """Leaf-wise stack of congruent pytrees onto a leading [K] axis."""
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
 def stack_member_states(states: Sequence[TrainState]):
     """Leaf-wise stack of member params/batch_stats onto a leading [K] axis.
 
@@ -30,15 +37,26 @@ def stack_member_states(states: Sequence[TrainState]):
     only by training lr, ``fusion_train.py:694-716``), so their pytrees are
     congruent and the K forwards can run as ONE vmapped program.
     """
-    import jax.numpy as jnp
-
-    params = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *[s.params for s in states]
-    )
-    stats = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *[s.batch_stats for s in states]
-    )
+    params = stack_pytrees([s.params for s in states])
+    stats = stack_pytrees([s.batch_stats for s in states])
     return params, stats
+
+
+def restore_members(cfg: EDRLConfig, checkpoint_dirs: Sequence[str]) -> List:
+    """Restore one state per member checkpoint dir (``best`` else ``latest``).
+
+    One init template serves every member: ``init_state(cfg, 0)`` is
+    deterministic and a jitted full-model init costs ~13 s over the tunnel
+    (CLAUDE.md) — don't pay it K times.  Shared by ``evaluate_ensemble`` and
+    ``serve.Predictor.from_checkpoints``.
+    """
+    _, template = init_state(cfg, 0)
+    states = []
+    for directory in checkpoint_dirs:
+        mgr = CheckpointManager(directory)
+        name = "best" if mgr.best_info() is not None else "latest"
+        states.append(mgr.restore(template, name))
+    return states
 
 
 def ensemble_predict(
@@ -125,15 +143,7 @@ def evaluate_ensemble(
     output_path: str = "Metric.txt",
 ) -> Dict[str, float]:
     """Load member checkpoints, run the suite, write ``Metric.txt``."""
-    # One restore template for all members — init_state(cfg, 0) is
-    # deterministic and a jitted full-model init costs ~13 s on the tunnel.
-    _, template = init_state(cfg, 0)
-    states = []
-    for directory in checkpoint_dirs:
-        mgr = CheckpointManager(directory)
-        name = "best" if mgr.best_info() is not None else "latest"
-        states.append(mgr.restore(template, name))
-    pred = ensemble_predict(cfg, states, loader)
+    pred = ensemble_predict(cfg, restore_members(cfg, checkpoint_dirs), loader)
     suite = metrics_lib.compute_uncertainty_metrics(pred["targets"], pred["probs"])
     suite["latency_per_sample_s"] = pred["latency_per_sample"]
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)

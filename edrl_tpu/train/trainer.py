@@ -481,8 +481,14 @@ def resume_from_latest(cfg: EDRLConfig, checkpoint_manager, train_loader):
     done = int(state.step) // steps_per_epoch
     best = checkpoint_manager.best_info()
     initial_best = float(best["accuracy"]) if best else 0.0
+    # Offset by the configured start epoch: a run launched with
+    # --start_epoch 3 that completed one epoch (epoch 3) must resume at
+    # epoch 4, not epoch 2 — the epoch-indexed loader shuffles and the
+    # step-folded PRNG both key on the absolute epoch number.
     cfg = cfg.replace(
-        train=dataclasses.replace(cfg.train, start_epoch=done + 1)
+        train=dataclasses.replace(
+            cfg.train, start_epoch=cfg.train.start_epoch + done
+        )
     )
     return state, cfg, initial_best, done
 
@@ -682,7 +688,10 @@ def fit(
                     state.params, cfg.model, epoch, cfg.train.plot_dir
                 )
             except KeyError:
-                pass  # model without EPRL proxies (baselines)
+                # Unexpected params tree (e.g. a custom model whose eprl_*
+                # module lacks "proxies"); proxy-less baselines return None
+                # inside dump_proxy_distributions without raising.
+                pass
 
     if cfg.train.plot_dir and train_hist:
         # End-of-run curve jpgs (reference ``fusion_train.py:771-772``;

@@ -85,6 +85,11 @@ def dump_proxy_distributions(params, model_cfg, epoch: int, out_dir: str) -> str
             neg = stats([k for k in range(num_classes) if k != c] or [c])
             mu_p.append(pos[0]); sig_p.append(pos[1]); v_p.append(pos[2])
             mu_n.append(neg[0]); sig_n.append(neg[1]); v_n.append(neg[2])
+    if not mu_p:
+        # Model without EPRL proxies (baselines): nothing to plot.  Returning
+        # None (instead of letting plt.subplots(0, 4) raise) keeps a long
+        # baseline run with --student_t_every set from dying mid-epoch-loop.
+        return None
     filename = os.path.join(
         out_dir, f"students_t_distributions_epoch_{epoch}.pdf"
     )

@@ -12,8 +12,12 @@ data (VERDICT r2 item 1: headline claims must survive an adversarial read).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import argparse
-import json
 
 import numpy as np
 
@@ -25,29 +29,12 @@ LATE = "Multi_ResNet (late fusion)"
 
 
 def load(path):
-    """Load rows, restricted to ONE protocol (the most recent row's).
+    """Current-protocol rows grouped by variant name, sweep keys as floats
+    (shared filtering/seed-normalization: ``edrl_tpu.train.study_io``)."""
+    from edrl_tpu.train.study_io import load_protocol_rows
 
-    A .jsonl can accumulate rows from different sweep grids / sample counts
-    across re-runs; aggregating across them is exactly the silent mixing the
-    per-row protocol tag exists to prevent (KeyError on a missing sigma cell
-    at best).  The study driver filters in-memory on resume but leaves the
-    file intact, so the standalone tools must filter too.
-    """
-    raw = [json.loads(line) for line in open(path)]
-    current = raw[-1].get("protocol") if raw else None
-    dropped = sum(1 for r in raw if r.get("protocol") != current)
-    if dropped:
-        import sys
-
-        print(
-            f"(note: {dropped} row(s) from other protocols in {path} "
-            "excluded; aggregating the most recent protocol only)",
-            file=sys.stderr,
-        )
     by = {}
-    for r in raw:
-        if r.get("protocol") != current:
-            continue
+    for r in load_protocol_rows(path, warn=True):
         r["sweep"] = {
             m: {float(s): v for s, v in cells.items()}
             for m, cells in r["sweep"].items()
@@ -71,6 +58,8 @@ def paired(by, name_a, name_b, field_a, field_b=None):
     (wins, total, per_seed_deltas_str).
     """
     field_b = field_b or field_a
+    if name_a not in by or name_b not in by:
+        return 0, 0, "variant absent"  # partial/legacy jsonl
     a_by_seed = {r["seed"]: field_a(r) for r in by[name_a]}
     b_by_seed = {r["seed"]: field_b(r) for r in by[name_b]}
     seeds = sorted(set(a_by_seed) & set(b_by_seed))

@@ -22,25 +22,22 @@ summary line per variant.  Usage:
 
 from __future__ import annotations
 
-import argparse
-import json
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import argparse
 
 import numpy as np
 
 
 def load(path):
-    """Load rows keyed by (name, seed), restricted to ONE protocol (the most
-    recent row's) — mixed-grid rows from older re-runs must not silently
-    overwrite or pair against the current study (see ablation_claims.load)."""
-    raw = [json.loads(line) for line in open(path)]
-    current = raw[-1].get("protocol") if raw else None
-    by = {}
-    for r in raw:
-        if r.get("protocol") != current:
-            continue
-        by[(r["name"], r.get("seed", 0))] = r
-    return by
+    """Current-protocol rows keyed by (name, seed) — shared implementation
+    in ``edrl_tpu.train.study_io``."""
+    from edrl_tpu.train.study_io import load_by_name_seed
+
+    return load_by_name_seed(path)
 
 
 def _agg(vals):

@@ -67,6 +67,19 @@ class TestVisualize:
         p2 = metrics_plot({"acc": [0.5, 0.6]}, str(tmp_path / "plot" / "acc.jpg"))
         assert os.path.exists(p1) and os.path.exists(p2)
 
+    def test_proxy_dump_skips_models_without_eprl(self, tmp_path):
+        """A proxy-less baseline (e.g. Multi_ResNet) with --student_t_every
+        set must return None, not crash mid-training on plt.subplots(0, 4)."""
+        from edrl_tpu.config import tiny_test_config
+        from edrl_tpu.train.visualize import dump_proxy_distributions
+
+        cfg = tiny_test_config()
+        out = dump_proxy_distributions(
+            {"dense": {"kernel": np.zeros((2, 2))}}, cfg.model, 5, str(tmp_path)
+        )
+        assert out is None
+        assert not list(tmp_path.iterdir())
+
     def test_student_t_pdf(self, tmp_path):
         pytest.importorskip("scipy")
         from edrl_tpu.train.visualize import visualize_student_t_distributions

@@ -172,3 +172,26 @@ class TestCustomVJP:
                 np.asarray(gf), np.asarray(gr), rtol=5e-4, atol=5e-5,
                 err_msg=f"grad mismatch for {name}",
             )
+
+    def test_mixed_precision_cotangent_dtypes_follow_primals(self, rng):
+        """bf16 weights + f32 LN/bias params (the flagship's bf16 layout):
+        every cotangent must carry its PRIMAL's dtype — in particular the
+        bias grads must stay f32, not inherit the weights' bf16 (which would
+        silently quantize an f32 param's gradient to 8 mantissa bits)."""
+        x, gamma, beta, wqkv, bqkv, wproj, bproj, bias = _inputs(rng)
+        bf16 = jnp.bfloat16
+        args = (
+            x.astype(bf16), gamma, beta, wqkv.astype(bf16), bqkv,
+            wproj.astype(bf16), bproj, bias,
+        )
+
+        def loss(*a):
+            y = attention_sublayer_fused(*a, 2, 0.25, True)
+            return jnp.sum(y.astype(jnp.float32))
+
+        grads = jax.grad(loss, argnums=tuple(range(8)))(*args)
+        names = ["x", "gamma", "beta", "wqkv", "bqkv", "wproj", "bproj", "bias"]
+        for name, g, primal in zip(names, grads, args):
+            assert g.dtype == primal.dtype, (
+                f"{name}: grad dtype {g.dtype} != primal dtype {primal.dtype}"
+            )

@@ -255,6 +255,23 @@ class TestMmdWeightAblation:
                              extra_md="## Budget effect: TEST SENTINEL")
         assert "## Budget effect: TEST SENTINEL" in md
 
+    def test_study_io_protocol_filter_and_seed_default(self, tmp_path):
+        """The shared jsonl loader keeps only the newest row's protocol and
+        backfills seed=0 on legacy (round-2 archive) rows."""
+        import json
+
+        from edrl_tpu.train.study_io import load_by_name_seed, load_protocol_rows
+
+        p = tmp_path / "x.jsonl"
+        rows = [
+            {"name": "a", "protocol": {"epochs": 5}, "seed": 1},
+            {"name": "a", "protocol": {"epochs": 9}},  # legacy: no seed
+        ]
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        kept = load_protocol_rows(str(p))
+        assert len(kept) == 1 and kept[0]["seed"] == 0
+        assert set(load_by_name_seed(str(p))) == {("a", 0)}
+
     def test_budget_gap_tool(self, tmp_path):
         """ablation_budget_gap pairs (variant, seed) rows across the
         25-epoch and 75-epoch studies, and refuses to compare studies that

@@ -112,3 +112,25 @@ def test_cli_sweep_flags_parse():
         ["--sweep", "all", "--sweep_levels", "0", "0.25"]
     )
     assert args.sweep == "all" and args.sweep_levels == [0.0, 0.25]
+
+
+def test_sweep_all_does_not_reuse_gaussian_levels_for_salt_pepper():
+    """--sweep all + --sweep_levels must override gaussian ONLY: sigma
+    0.25-0.5 read as a corrupted-pixel fraction is 10x past the SP grid."""
+    from edrl_tpu.cli.test import resolve_sweep_levels
+
+    sigmas, sp = (0.0, 0.25, 0.5), (0.0, 0.01, 0.05)
+    # all + --sweep_levels: gaussian overridden, SP keeps its default grid
+    assert resolve_sweep_levels("all", "gaussian", [0.1], None, sigmas, sp) == (0.1,)
+    assert resolve_sweep_levels("all", "salt_pepper", [0.1], None, sigmas, sp) == sp
+    # all + --sp_sweep_levels: SP overridden explicitly
+    assert resolve_sweep_levels(
+        "all", "salt_pepper", [0.1], [0.02], sigmas, sp
+    ) == (0.02,)
+    # single-kind invocations stay backward compatible with --sweep_levels
+    assert resolve_sweep_levels(
+        "salt_pepper", "salt_pepper", [0.02], None, sigmas, sp
+    ) == (0.02,)
+    # no overrides: per-kind defaults
+    assert resolve_sweep_levels("all", "gaussian", None, None, sigmas, sp) == sigmas
+    assert resolve_sweep_levels("all", "salt_pepper", None, None, sigmas, sp) == sp

@@ -205,6 +205,33 @@ class TestResume:
                 atol=1e-6, rtol=1e-6,
             )
 
+    def test_resume_respects_nondefault_start_epoch(self, cfg, loaders, tmp_path):
+        """A run launched with --start_epoch 3 that completed epochs 3-4 must
+        resume at epoch 5, not epoch 3 (the step counter counts steps since
+        the configured start, so the offset must be added back)."""
+        import dataclasses
+
+        from edrl_tpu.train.trainer import resume_from_latest
+
+        train_loader, val_loader = loaders
+        base = cfg.replace(
+            train=dataclasses.replace(
+                cfg.train,
+                start_epoch=3,
+                end_epochs=4,
+                save_latest_every=1,
+                log_dir="",
+            )
+        )
+        mgr = CheckpointManager(str(tmp_path / "offset_ckpt"))
+        fit(base, train_loader, val_loader, checkpoint_manager=mgr, verbose=False)
+
+        resumed = resume_from_latest(base, mgr, train_loader)
+        assert resumed is not None
+        _, rcfg, _, done = resumed
+        assert done == 2  # epochs 3 and 4 ran
+        assert rcfg.train.start_epoch == 5
+
     def test_resume_without_latest_returns_none(self, cfg, loaders, tmp_path):
         from edrl_tpu.train.trainer import resume_from_latest
 
