@@ -9,9 +9,14 @@ ledger #11).
 
 from __future__ import annotations
 
-import numpy as np
 
-from edrl_tpu.cli.train import build_parser, config_from_args, make_loaders
+from edrl_tpu.cli.train import (
+    build_parser,
+    config_from_args,
+    make_loaders,
+    report_eval,
+    setup_cli_logging,
+)
 
 
 def resolve_sweep_levels(
@@ -78,26 +83,13 @@ def main(argv=None):
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
 
-    emit = print
-    if cfg.train.log_dir:
-        import os
-
-        from edrl_tpu.train.logging import setup_logging
-
-        logger = setup_logging(
-            os.path.join(
-                cfg.train.log_dir,
-                f"{cfg.data.dataset}_{cfg.train.name}_test.log",
-            )
-        )
-        logger.info("args: %s", vars(args))
-        emit = logger.info
+    emit = setup_cli_logging(cfg, args, "test")
 
     _, val_loader = make_loaders(cfg)
 
     from edrl_tpu.train.checkpoint import CheckpointManager
     from edrl_tpu.train.metrics import compute_uncertainty_metrics
-    from edrl_tpu.train.trainer import init_state, make_eval_step, make_model, run_eval
+    from edrl_tpu.train.trainer import init_state, make_eval_step, make_model
 
     _, state = init_state(cfg, cfg.train.seed)
     if args.checkpoint:
@@ -124,20 +116,7 @@ def main(argv=None):
         print("MC-dropout suite:", {k: round(v, 4) for k, v in mc_suite.items()})
 
     eval_step = make_eval_step(make_model(cfg), cfg)
-    m, targets, probs = run_eval(state, eval_step, val_loader)
-    emit(
-        f"Test: Acc {m.accuracy:.4f} AUC {m.auc:.4f} F1 {m.f1:.4f} "
-        f"Precision {m.precision:.4f} Recall {m.recall:.4f} "
-        f"Specificity {m.specificity:.4f}"
-    )
-    suite = compute_uncertainty_metrics(targets, probs)
-    emit(f"Uncertainty suite: {({k: round(v, 4) for k, v in suite.items()})}")
-    for mask, label in (
-        (np.array([True, False]), "fundus-only"),
-        (np.array([False, True]), "oct-only"),
-    ):
-        mm, _, _ = run_eval(state, eval_step, val_loader, modality_mask=mask)
-        emit(f"Missing-modality [{label}]: Acc {mm.accuracy:.4f} AUC {mm.auc:.4f}")
+    report_eval(emit, cfg, state, eval_step, val_loader)
 
     if args.sweep:
         from edrl_tpu.train.robustness import (

@@ -29,7 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--start_epoch", type=int, default=1)
     p.add_argument("--end_epochs", type=int, default=200)
-    p.add_argument("--test_epoch", type=int, default=198)
+    # Default 0 = disabled: the reference's default (198, fusion_train.py:517)
+    # would silently divert the test phase to epoch_198 whenever --save_every
+    # happened to keep that checkpoint; only an explicit flag should.
+    p.add_argument("--test_epoch", type=int, default=0)
     p.add_argument("--lambda_epochs", type=int, default=50)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--model_name", default="MedFusion")
@@ -232,33 +235,63 @@ def _enable_compile_cache():
         pass
 
 
+def setup_cli_logging(cfg, args, phase: str):
+    """File+console logging of the run configuration — the reference defined
+    ``log_args`` (``fusion_train.py:44-63``) but never wired it; here every
+    CLI run leaves a .log next to its CSVs.  Returns the ``emit`` callable
+    (``logger.info`` when ``--log_dir`` is set, else ``print``)."""
+    if not cfg.train.log_dir:
+        return print
+    import os
+
+    from edrl_tpu.train.logging import setup_logging
+
+    logger = setup_logging(
+        os.path.join(
+            cfg.train.log_dir,
+            f"{cfg.data.dataset}_{cfg.train.name}_{phase}.log",
+        )
+    )
+    logger.info("args: %s", vars(args))
+    return logger.info
+
+
+def report_eval(emit, cfg, state, eval_step, val_loader, mesh=None):
+    """The shared test-phase report: overall metrics + 10-metric uncertainty
+    suite + missing-modality sweep (BASELINE.json config 5).  Used by both
+    the train&test loop and the standalone test CLI."""
+    from edrl_tpu.train.metrics import compute_uncertainty_metrics
+    from edrl_tpu.train.trainer import run_eval
+
+    m, targets, probs = run_eval(state, eval_step, val_loader, mesh=mesh)
+    emit(
+        f"Test: Acc {m.accuracy:.4f} AUC {m.auc:.4f} F1 {m.f1:.4f} "
+        f"Precision {m.precision:.4f} Recall {m.recall:.4f} "
+        f"Specificity {m.specificity:.4f}"
+    )
+    suite = compute_uncertainty_metrics(targets, probs)
+    emit(f"Uncertainty suite: {({k: round(v, 4) for k, v in suite.items()})}")
+    for mask, label in (
+        (np.array([True, False]), "fundus-only"),
+        (np.array([False, True]), "oct-only"),
+    ):
+        mm, _, _ = run_eval(
+            state, eval_step, val_loader, modality_mask=mask, mesh=mesh
+        )
+        emit(f"Missing-modality [{label}]: Acc {mm.accuracy:.4f} AUC {mm.auc:.4f}")
+
+
 def main(argv=None):
     _enable_compile_cache()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 
-    # File+console logging of the run configuration — the reference defined
-    # ``log_args`` (``fusion_train.py:44-63``) but never wired it; here every
-    # CLI run leaves a .log next to its CSVs.
-    emit = print
-    if cfg.train.log_dir:
-        import os as _os
-
-        from edrl_tpu.train.logging import setup_logging
-
-        logger = setup_logging(
-            _os.path.join(
-                cfg.train.log_dir,
-                f"{cfg.data.dataset}_{cfg.train.name}_train.log",
-            )
-        )
-        logger.info("args: %s", vars(args))
-        emit = logger.info
+    emit = setup_cli_logging(cfg, args, "train")
 
     train_loader, val_loader = make_loaders(cfg)
 
     from edrl_tpu.train.checkpoint import CheckpointManager
-    from edrl_tpu.train.trainer import fit, init_state, make_eval_step, make_model, run_eval
+    from edrl_tpu.train.trainer import fit, init_state, make_eval_step, make_model
 
     import os
 
@@ -283,13 +316,16 @@ def main(argv=None):
         cfg = _gate_pallas_under_mesh(cfg, mesh, verbose=True)
 
     if cfg.train.mode in ("train", "train&test"):
-        state, initial_best = None, 0.0
+        state, initial_best, initial_best_epoch = None, 0.0, -1
         if cfg.train.resume:
             from edrl_tpu.train.trainer import resume_from_latest
 
             resumed = resume_from_latest(cfg, mgr, train_loader)
             if resumed is not None:
                 state, cfg, initial_best, done = resumed
+                binfo = mgr.best_info()
+                if binfo is not None:
+                    initial_best_epoch = int(binfo["epoch"])
                 emit(
                     f"Resuming from latest (completed epoch {done}, "
                     f"best {initial_best:.4f})"
@@ -302,6 +338,7 @@ def main(argv=None):
             mesh=mesh,
             checkpoint_manager=mgr,
             initial_best=initial_best,
+            initial_best_epoch=initial_best_epoch,
         )
         emit(f"Best val accuracy {result.best_acc:.4f} at epoch {result.best_epoch}")
     if cfg.train.mode in ("test", "train&test"):
@@ -313,25 +350,14 @@ def main(argv=None):
             state = mgr.restore(state, epoch_name)
             emit(f"Evaluating checkpoint {epoch_name}")
         elif mgr.best_info() is not None:
+            if args.test_epoch:
+                emit(
+                    f"--test_epoch {args.test_epoch}: no {epoch_name} "
+                    "checkpoint kept (see --save_every); evaluating best"
+                )
             state = mgr.restore(state, "best")
         eval_step = make_eval_step(make_model(cfg), cfg)
-        from edrl_tpu.train.metrics import compute_uncertainty_metrics
-
-        m, targets, probs = run_eval(state, eval_step, val_loader, mesh=mesh)
-        emit(
-            f"Test: Acc {m.accuracy:.4f} AUC {m.auc:.4f} F1 {m.f1:.4f} "
-            f"Precision {m.precision:.4f} Recall {m.recall:.4f} "
-            f"Specificity {m.specificity:.4f}"
-        )
-        suite = compute_uncertainty_metrics(targets, probs)
-        emit(f"Uncertainty suite: {({k: round(v, 4) for k, v in suite.items()})}")
-        # Missing-modality sweep (BASELINE.json config 5).
-        for mask, label in (
-            (np.array([True, False]), "fundus-only"),
-            (np.array([False, True]), "oct-only"),
-        ):
-            mm, _, _ = run_eval(state, eval_step, val_loader, modality_mask=mask, mesh=mesh)
-            emit(f"Missing-modality [{label}]: Acc {mm.accuracy:.4f} AUC {mm.auc:.4f}")
+        report_eval(emit, cfg, state, eval_step, val_loader, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -244,9 +244,17 @@ class ComplementarySyntheticGammaDataset(SyntheticGammaDataset):
         return float(u), float(v)
 
     def _label_of(self, u: float, v: float) -> int:
-        if self.num_classes >= 4:
+        if self.num_classes == 2:
+            return int(u + v > 0)
+        if self.num_classes == 4:
             return int(u > 0) + 2 * int(v > 0)
-        return int(u + v > 0)
+        # Silently emitting binary labels into e.g. a 3-class head would
+        # leave classes without support and void the protocol's ceilings.
+        raise ValueError(
+            "ComplementarySyntheticGammaDataset defines only the binary "
+            f"(u+v>0) and 4-class (u>0, v>0) protocols; got num_classes="
+            f"{self.num_classes}"
+        )
 
     def _base_sample(self, index: int):
         rng = np.random.default_rng(

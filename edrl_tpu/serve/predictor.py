@@ -239,7 +239,10 @@ class Predictor:
             chunk_sh = NamedSharding(self.mesh, P(None, "data"))
 
             def put(x, sh):
-                return jax.device_put(jnp.asarray(x), sh)
+                # device_put straight from the numpy array (same as
+                # parallel.mesh.shard_batch): jnp.asarray first would stage
+                # the WHOLE batch on the default device, then reshard.
+                return jax.device_put(x, sh)
         else:
             batch_sh = chunk_sh = None
 

@@ -113,7 +113,9 @@ def format_sweep(results: Dict[str, Dict[float, dict]]) -> str:
     lines = ["modality\tsigma\taccuracy\tauc\tf1"]
     for modality, by_sigma in results.items():
         for sigma, m in sorted(by_sigma.items()):
+            # %g, not %.2f: the salt-pepper grid (0.001, 0.005, ...) would
+            # render as three identical "0.00" rows under fixed precision.
             lines.append(
-                f"{modality}\t{sigma:.2f}\t{m['accuracy']:.4f}\t{m['auc']:.4f}\t{m['f1']:.4f}"
+                f"{modality}\t{sigma:g}\t{m['accuracy']:.4f}\t{m['auc']:.4f}\t{m['f1']:.4f}"
             )
     return "\n".join(lines)

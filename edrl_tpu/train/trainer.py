@@ -94,6 +94,11 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=tuple(opt_state))
 
 
+def get_learning_rate(state: TrainState) -> float:
+    """The live injected lr (inverse of ``set_learning_rate``)."""
+    return float(state.opt_state[1].hyperparams["learning_rate"])
+
+
 class PlateauTracker:
     """ReduceLROnPlateau(mode=min, factor, patience) host-side logic —
     the reference constructed this but never stepped it (ledger #10); here it
@@ -470,8 +475,10 @@ def resume_from_latest(cfg: EDRLConfig, checkpoint_manager, train_loader):
     is always a complete (possibly one-epoch-older) state.  The resumed run
     is step-identical to an uninterrupted one: the loader shuffles are
     epoch-indexed and the train PRNG folds the checkpointed step
-    (``tests/test_train.py::TestResume``); only the host-side plateau
-    tracker restarts.  No reference analog — its ``--start_epoch`` reloads
+    (``tests/test_train.py::TestResume``); the plateau tracker's lr is
+    re-seeded from the restored state's injected hyperparam (so a pre-crash
+    reduction is never undone) but its best/bad-epoch counters restart.
+    No reference analog — its ``--start_epoch`` reloads
     nothing (SURVEY.md section 5.4)."""
     if checkpoint_manager.latest_info() is None:
         return None
@@ -502,12 +509,15 @@ def fit(
     checkpoint_manager=None,
     verbose: bool = True,
     initial_best: float = 0.0,
+    initial_best_epoch: int = -1,
 ) -> Tuple[TrainState, FitResult]:
     """The train&test loop (``fusion_train.py:754-772``): per-epoch train,
     val on the low-noise view, best-accuracy checkpointing, CSV logging.
 
-    ``initial_best``: the best-val-accuracy watermark to start from — set on
-    resume so a restored run does not overwrite a better pre-crash ``best``.
+    ``initial_best``/``initial_best_epoch``: the best-val-accuracy watermark
+    (and its epoch) to start from — set on resume so a restored run does not
+    overwrite a better pre-crash ``best``, and so FitResult reports the
+    pre-crash best epoch instead of -1 when no post-resume epoch beats it.
     """
     cfg = _gate_pallas_under_mesh(cfg, mesh, verbose)
     model = make_model(cfg)
@@ -563,14 +573,18 @@ def fit(
 
     plateau = None
     if cfg.train.use_plateau_schedule:
-        from edrl_tpu.baselines.registry import ENSEMBLE_LRS
-
-        lr0 = ENSEMBLE_LRS.get(cfg.model.model_name, cfg.train.lr)
+        # Seed from the state's LIVE lr, not the configured lr0: a resumed
+        # checkpoint carries any pre-crash plateau reductions in its injected
+        # hyperparam, and restarting the tracker at lr0 would RAISE the lr on
+        # the first post-resume plateau event (lr0*factor > reduced lr).
+        # Only the best/bad_epochs counters restart (documented caveat).
         plateau = PlateauTracker(
-            lr0, cfg.train.plateau_factor, cfg.train.plateau_patience
+            get_learning_rate(state),
+            cfg.train.plateau_factor,
+            cfg.train.plateau_patience,
         )
 
-    best_acc, best_epoch = initial_best, -1
+    best_acc, best_epoch = initial_best, initial_best_epoch
     train_hist, val_hist = [], []
     for epoch in range(cfg.train.start_epoch, cfg.train.end_epochs + 1):
         loss_meter = AverageMeter()

@@ -76,6 +76,15 @@ class TestComplementaryProtocol:
             labels.add(label)
         assert labels == {0, 1, 2, 3}
 
+    def test_unsupported_num_classes_raises(self, data_cfg):
+        """num_classes=3 must raise, not silently emit binary labels into a
+        3-class head (class 2 would have zero support and the protocol's
+        unimodal/fusion ceilings would no longer hold)."""
+        cfg = dataclasses.replace(data_cfg, num_classes=3)
+        ds = ComplementarySyntheticGammaDataset(cfg, mode="train")
+        with pytest.raises(ValueError, match="num_classes=3"):
+            ds._base_sample(0)
+
     def test_labels_roughly_balanced(self, data_cfg):
         ds = ComplementarySyntheticGammaDataset(data_cfg, mode="train")
         frac = np.mean([ds._label_of(*ds.latent_evidence(i)) for i in range(400)])

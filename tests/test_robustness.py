@@ -21,6 +21,14 @@ def test_noise_sweep_grid_runs():
     assert "modality" in table and "oct-only" in table
 
 
+def test_format_sweep_distinguishes_small_sp_levels():
+    """%g rendering: the salt-pepper grid's 0.001/0.005 rows must not both
+    print as '0.00' (fixed-two-decimal formatting made them ambiguous)."""
+    cell = {"accuracy": 0.5, "auc": 0.5, "f1": 0.5}
+    table = format_sweep({"both": {0.001: dict(cell), 0.005: dict(cell)}})
+    assert "0.001" in table and "0.005" in table
+
+
 def test_noise_sweep_evaluates_every_sample():
     """Regression: the sweep loaders must keep the remainder batch — with
     drop_last it silently lost up to eval_batch_size-1 samples per grid

@@ -353,13 +353,51 @@ class TestPlateauSchedule:
         assert t.step(0.5) is None  # improvement resets
 
     def test_set_learning_rate_mutates_opt_state(self, cfg):
-        from edrl_tpu.train.trainer import init_state, set_learning_rate
+        from edrl_tpu.train.trainer import (
+            get_learning_rate,
+            init_state,
+            set_learning_rate,
+        )
 
         _, state = init_state(cfg, 0)
         state = set_learning_rate(state, 5e-5)
         assert float(state.opt_state[1].hyperparams["learning_rate"]) == (
             pytest.approx(5e-5)
         )
+        assert get_learning_rate(state) == pytest.approx(5e-5)
+
+    def test_plateau_resumes_from_live_lr_not_lr0(self, cfg, loaders):
+        """A resumed state carrying a pre-crash plateau reduction must seed
+        the tracker with the REDUCED lr: restarting at lr0 would let the
+        first post-resume plateau event raise the lr (lr0*factor > live)."""
+        import dataclasses
+
+        from edrl_tpu.train.trainer import (
+            fit,
+            get_learning_rate,
+            init_state,
+            set_learning_rate,
+        )
+
+        c = cfg.replace(
+            train=dataclasses.replace(
+                cfg.train,
+                end_epochs=2,
+                log_dir="",
+                use_plateau_schedule=True,
+                plateau_factor=0.1,
+                plateau_patience=0,
+            )
+        )
+        _, state = init_state(c, 0)
+        reduced = c.train.lr * 0.01  # as if two pre-crash reductions happened
+        state = set_learning_rate(state, reduced)
+        train_loader, val_loader = loaders
+        state, _ = fit(c, train_loader, val_loader, state=state, verbose=False)
+        # Any post-resume reduction must start from `reduced`, never from
+        # lr0: the final live lr can only be reduced * factor^k, k >= 0.
+        final = get_learning_rate(state)
+        assert final <= reduced * (1 + 1e-6), (final, reduced)
 
 
 class TestObservabilityWiring:
