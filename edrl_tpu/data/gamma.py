@@ -34,6 +34,16 @@ from edrl_tpu.data.transforms import (
 )
 
 
+def _slice_sort_key(name: str):
+    """Depth-order key for OCT slice filenames: '2.jpg' < '10.jpg' <
+    '100.jpg' (numeric on the first digit run; non-numeric names sort
+    after, lexicographically)."""
+    import re
+
+    m = re.search(r"\d+", os.path.splitext(name)[0])
+    return (0, int(m.group(0)), name) if m else (1, 0, name)
+
+
 def _read_image(path: str) -> np.ndarray:
     try:
         import cv2
@@ -116,7 +126,14 @@ class GammaDataset:
         reads are ~1ms and lossless for 8-bit sources)."""
         root = self.cfg.data_path
         as_uint8 = self.cfg.device_noise and self.cfg.uint8_transport
-        cache_path = os.path.join(root, sid, f"_edrl_cache8_{self.cfg.fundus_size}.npz")
+        # Key the cache on EVERY shape knob: a filename keyed on fundus_size
+        # alone served stale 96^3 volumes after an oct_size change.
+        d, oh, ow = self.cfg.oct_size
+        cache_path = os.path.join(
+            root,
+            sid,
+            f"_edrl_cache8_{self.cfg.fundus_size}_{d}x{oh}x{ow}.npz",
+        )
         if self.cache and os.path.exists(cache_path):
             z = np.load(cache_path)
             if as_uint8:
@@ -142,6 +159,12 @@ class GammaDataset:
                 np.savez(cache_path, fundus=fundus_u8, oct=vol_u8)
             except OSError:
                 pass
+            # Serve the uint8 round-trip on the cache-MISS call too: the
+            # first epoch must see byte-identical values to every cached
+            # epoch/run (post-resize floats are not 8-bit-valued, so
+            # returning the raw floats here would make fresh != cached).
+            fundus = fundus_u8.astype(np.float32) / 255.0
+            vol = vol_u8.astype(np.float32) / 255.0
         if as_uint8:
             return fundus_u8, vol_u8
         return fundus, vol
@@ -229,7 +252,9 @@ class GammaSub1Dataset:
         root = self.cfg.data_path
         fundus = _read_image(os.path.join(root, sid, f"{sid}.png"))
         slice_dir = os.path.join(root, sid, sid)
-        slices = sorted(os.listdir(slice_dir))
+        # Numeric-aware order: lexicographic sorting stacks 1,10,100,...,2
+        # and scrambles the volume's depth axis for unpadded filenames.
+        slices = sorted(os.listdir(slice_dir), key=_slice_sort_key)
         from PIL import Image
 
         stack = [

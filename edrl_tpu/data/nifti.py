@@ -49,7 +49,15 @@ def read_nifti(path: str) -> np.ndarray:
     # NIfTI stores Fortran (column-major) order: first axis fastest.
     vol = data.reshape(shape[::-1]).transpose(range(ndim)[::-1])
     vol = vol.astype(np.float32)
-    if scl_slope not in (0.0, 1.0):
+    # NIfTI-1 scaling semantics: apply whenever slope != 0 (slope == 0
+    # means "no scaling stored").  slope == 1 does NOT skip the intercept —
+    # pure-offset volumes (slope 1, inter -1024) are common in conversions.
+    # NaN slope/inter mean unset (nibabel convention).
+    if not np.isfinite(scl_slope):
+        scl_slope = 0.0
+    if not np.isfinite(scl_inter):
+        scl_inter = 0.0
+    if scl_slope != 0.0 and (scl_slope != 1.0 or scl_inter != 0.0):
         vol = vol * scl_slope + scl_inter
     return vol
 

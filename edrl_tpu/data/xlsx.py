@@ -34,8 +34,15 @@ def read_xlsx_rows(path: str) -> List[List[Optional[str]]]:
             root = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
             for si in root.findall("m:si", _NS):
                 shared.append("".join(t.text or "" for t in si.iter(f"{{{_NS['m']}}}t")))
+        # Numeric sort: lexicographic order puts sheet10.xml before
+        # sheet2.xml, so "first worksheet" would be wrong for 10+ sheets.
         sheet_names = sorted(
-            n for n in zf.namelist() if re.match(r"xl/worksheets/sheet\d+\.xml", n)
+            (
+                n
+                for n in zf.namelist()
+                if re.match(r"xl/worksheets/sheet\d+\.xml", n)
+            ),
+            key=lambda n: int(re.search(r"sheet(\d+)\.xml", n).group(1)),
         )
         root = ElementTree.fromstring(zf.read(sheet_names[0]))
         rows: List[List[Optional[str]]] = []

@@ -354,6 +354,14 @@ def _v2_bwd(num_heads, scale, interpret, res, do):
         ),
         interpret=interpret,
     )(qkv, qkv, qkv, bias, do)
+    # The concatenate is the packed-cotangent layout pass, and it is not
+    # avoidable inside the kernel: out_specs map 1:1 onto output arrays, so
+    # dq/dk/dv cannot be written as three column blocks of ONE [B,W,N,3C]
+    # buffer; a part-leading [3,B,W,N,C] output just trades the concat for
+    # an equal-cost transpose, and reordering the grid to keep a packed
+    # block resident across heads breaks the dbias revisit accumulation
+    # (which needs the batch dim innermost).  XLA is free to fuse this
+    # concat into the consuming qkv-Dense backward matmuls.
     return jnp.concatenate([dq, dk, dv], axis=-1), dbias
 
 

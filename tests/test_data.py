@@ -91,6 +91,28 @@ class TestTransforms:
         assert out.shape == (4, 2, 2)
         assert out[0, 0, 0] == vol[0, 0, 0]
 
+    def test_resize_volume_matches_ndimage_zoom(self):
+        """Exact parity with the reference's resize_oct_data_trans
+        (``ndimage.zoom(order=0)``, code/data_harvard.py:176-183) — the
+        previous floor(i*d/od) map diverged on ~99.98% of voxels for a
+        256->96 downsample and never sampled the last input slices."""
+        pytest.importorskip("scipy")
+        from scipy import ndimage
+
+        rng = np.random.default_rng(0)
+        for shape, out_shape in [
+            ((20, 26, 26), (10, 10, 10)),  # downsample (ref: 200x256x256->96^3)
+            ((5, 6, 7), (8, 9, 10)),  # upsample
+            ((3, 3, 3), (5, 5, 5)),  # half-way rounding cells
+        ]:
+            vol = rng.uniform(size=shape).astype(np.float32)
+            got = resize_volume(vol, out_shape)
+            want = ndimage.zoom(
+                vol, [o / s for o, s in zip(out_shape, shape)], order=0
+            )
+            assert want.shape == tuple(out_shape), (want.shape, out_shape)
+            np.testing.assert_array_equal(got, want)
+
     def test_resize_image(self, rng):
         img = rng.uniform(size=(32, 48, 3)).astype(np.float32)
         out = resize_image(img, 16)
@@ -102,6 +124,34 @@ class TestNifti:
         vol = rng.uniform(size=(5, 6, 7)).astype(np.float32)
         path = str(tmp_path / "vol.nii")
         write_nifti(path, vol)
+        back = read_nifti(path)
+        np.testing.assert_allclose(back, vol, rtol=1e-6)
+
+    def test_slope_one_intercept_applied(self, tmp_path, rng):
+        """NIfTI-1 scaling: slope==1 does NOT mean 'no scaling' — the
+        intercept must still apply (pure-offset volumes, e.g. slope 1 /
+        inter -1024, are common in converted data)."""
+        import struct
+
+        vol = rng.uniform(size=(4, 5, 6)).astype(np.float32)
+        path = str(tmp_path / "off.nii")
+        write_nifti(path, vol)
+        raw = bytearray(open(path, "rb").read())
+        struct.pack_into("<f", raw, 116, -10.0)  # scl_inter
+        open(path, "wb").write(raw)
+        back = read_nifti(path)
+        np.testing.assert_allclose(back, vol - 10.0, rtol=1e-5)
+
+    def test_nan_scaling_fields_mean_unset(self, tmp_path, rng):
+        import struct
+
+        vol = rng.uniform(size=(3, 4, 5)).astype(np.float32)
+        path = str(tmp_path / "nan.nii")
+        write_nifti(path, vol)
+        raw = bytearray(open(path, "rb").read())
+        struct.pack_into("<f", raw, 112, float("nan"))  # scl_slope
+        struct.pack_into("<f", raw, 116, float("nan"))  # scl_inter
+        open(path, "wb").write(raw)
         back = read_nifti(path)
         np.testing.assert_allclose(back, vol, rtol=1e-6)
 
@@ -270,6 +320,16 @@ class TestGammaSub1Dataset:
         # train path applies per-channel normalization -> values leave [0,1]
         assert s["fundus"].min() < 0 or s["fundus"].max() > 1
 
+    def test_slice_order_is_numeric(self):
+        """Unpadded slice names must stack in depth order, not
+        lexicographic order (1,10,100,...,2 scrambles the D axis)."""
+        from edrl_tpu.data.gamma import _slice_sort_key
+
+        names = ["1.jpg", "10.jpg", "100.jpg", "2.jpg", "20.jpg", "3.jpg"]
+        assert sorted(names, key=_slice_sort_key) == [
+            "1.jpg", "2.jpg", "3.jpg", "10.jpg", "20.jpg", "100.jpg",
+        ]
+
     def test_val_mode_no_normalization(self, sub1_fixture):
         from edrl_tpu.data.gamma import GammaSub1Dataset
 
@@ -310,6 +370,27 @@ class TestXlsx:
         assert len(labels) == 3000
         assert all(v.shape == (4,) for v in labels.values())
         assert all(v.sum() == 1.0 for v in labels.values())  # one-hot
+
+    def test_first_sheet_is_numeric_not_lexicographic(self, tmp_path):
+        """With 10+ sheets, 'first worksheet' must be sheet1.xml — a
+        lexicographic sort puts sheet10.xml first."""
+        import zipfile
+
+        from edrl_tpu.data.xlsx import read_xlsx_rows, write_xlsx
+
+        path = str(tmp_path / "many.xlsx")
+        write_xlsx(path, ["data"], [["from_sheet1"]])
+        sheet = (
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData>'
+            '<row r="1"><c r="A1" t="inlineStr"><is><t>WRONG</t></is></c>'
+            "</row></sheetData></worksheet>"
+        )
+        with zipfile.ZipFile(path, "a") as zf:
+            for i in range(2, 12):
+                zf.writestr(f"xl/worksheets/sheet{i}.xml", sheet)
+        rows = read_xlsx_rows(path)
+        assert rows[1][0] == "from_sheet1"
 
     def test_write_read_roundtrip(self, tmp_path):
         from edrl_tpu.data.xlsx import read_xlsx_rows, write_xlsx
