@@ -138,11 +138,18 @@ class MultiEFResNet(nn.Module):
         # Fundus RGB -> grayscale slab resized (avg-pool) to the OCT HxW grid.
         gray = jnp.mean(fundus, axis=-1, keepdims=True)  # [B, H_f, W_f, 1]
         fh, fw = gray.shape[1], gray.shape[2]
-        # Integer-factor average pooling to (h, w) when divisible, else resize
-        # by nearest index sampling (static shapes either way).
-        hi = (jnp.arange(h) * fh) // h
-        wi = (jnp.arange(w) * fw) // w
-        slab = gray[:, hi][:, :, wi]  # [B, h, w, 1]
+        # Integer-factor average pooling to (h, w) when divisible (the
+        # 384^2 -> 96^2 default), else nearest-index sampling.  The pooled
+        # branch actually pools: decimation alone would discard 15/16 of
+        # the fundus pixels for a 4x factor.
+        if fh % h == 0 and fw % w == 0:
+            slab = jnp.mean(
+                gray.reshape(b, h, fh // h, w, fw // w, 1), axis=(2, 4)
+            )  # [B, h, w, 1]
+        else:
+            hi = (jnp.arange(h) * fh) // h
+            wi = (jnp.arange(w) * fw) // w
+            slab = gray[:, hi][:, :, wi]  # [B, h, w, 1]
         slab = jnp.broadcast_to(slab[:, None], (b, self.extra_slices, h, w, 1))
         vol = jnp.concatenate([slab.astype(oct_vol.dtype), oct_vol], axis=1)
         _, pooled = ResNet3D(blocks=(2, 2, 2, 2), dtype=self.dtype, name="backbone")(

@@ -89,6 +89,12 @@ class ModelConfig:
     common_ratio: float = 0.5  # DILR split (``fusion_net.py:581``)
     bt_off_diag_weight: float = 0.0051  # (``fusion_net.py:674-675``)
     num_heads: int = 8
+    # The reference's ``dropout = 0.25`` (``fusion_net.py:782``) feeds ONLY
+    # its constructed-but-dead fundus/oct TransformerEncoders (ledger #12);
+    # the live EDRL dropouts are hard-coded in their modules for parity
+    # (EPRL 0.2, ``fusion_net.py:85-96``; DILR's AttentionModel has none,
+    # ``fusion_net.py:550-578``).  This field is intentionally NOT threaded
+    # anywhere — changing it changes nothing, matching the reference.
     dropout: float = 0.25
     label_smoothing: float = 0.1  # (``fusion_net.py:931``)
     # Loss weights, as executed (``fusion_net.py:870-879``; ledger #3).

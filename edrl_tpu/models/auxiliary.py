@@ -40,8 +40,17 @@ def estimate_v(z_proxy: jax.Array, epsilon: float = 1e-8) -> jax.Array:
 
 
 class MIAttentionFusion(nn.Module):
-    """Tri-input attention: global queries attend over concat(general, 2d, 3d)
-    keys/values (``fusion_net.py:309-343``)."""
+    """Tri-input attention: global queries attend over concatenated
+    keys/values (``fusion_net.py:309-343``).
+
+    Reference quirk preserved as-executed: the key concat order is
+    (general, **3d**, **2d**) while the value order is (general, **2d**,
+    **3d**) (``fusion_net.py:334,338``) — each cross-modal key is paired
+    with the OTHER modality's value.  Token counts differ (144 vs 216), so
+    positions don't even correspond 1:1; this looks like a reference bug,
+    but the module is constructed-and-never-called there (ledger #12), so
+    there is no executed behavior to diverge from and we keep the literal
+    ordering."""
 
     dim_2d: int
     dim_3d: int

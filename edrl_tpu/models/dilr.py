@@ -74,7 +74,14 @@ class DILR(nn.Module):
     common_ratio: float = 0.5
     num_heads: int = 8
     off_diag_weight: float = 0.0051
-    batch_divisor_mult: float = 4.0  # the reference's ``batch_size * 4``
+    # The reference divides by the CONSTANT ``args.batch_size * 4``
+    # (``fusion_net.py:661``, a 4-GPU Barlow-Twins leftover).  We keep the
+    # x4 but use the RUNTIME batch: identical on the reference's own train
+    # path (drop_last=True makes every batch full), and statistically
+    # correct when the eval batch size differs — a constant divisor would
+    # scale the correlation (hence the squared loss ~quadratically) by
+    # (train_b / eval_b) at eval.  Deliberate fix, ledger-style.
+    batch_divisor_mult: float = 4.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -133,14 +140,17 @@ class DILR(nn.Module):
         y1_full = jnp.concatenate([y1_com, y1_uni], axis=1)  # [B, 2048]
         y2_full = jnp.concatenate([y2_com, y2_uni], axis=1)
 
-        # Affine-free batch norm (``:653-654,757-758``).
+        # Affine-free batch norm (``:653-654,757-758``); momentum 0.9 ==
+        # torch BatchNorm1d's default 0.1 (flax's default 0.99 would track
+        # the running stats that standardize the eval-path features 10x
+        # slower than the reference).
         z1 = nn.BatchNorm(
             use_running_average=det, use_bias=False, use_scale=False, name="bn1",
-            dtype=jnp.float32,
+            momentum=0.9, dtype=jnp.float32,
         )(y1_full.astype(jnp.float32))
         z2 = nn.BatchNorm(
             use_running_average=det, use_bias=False, use_scale=False, name="bn2",
-            dtype=jnp.float32,
+            momentum=0.9, dtype=jnp.float32,
         )(y2_full.astype(jnp.float32))
 
         loss, _, _ = barlow_block_loss(

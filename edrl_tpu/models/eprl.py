@@ -74,6 +74,16 @@ class EPRL(nn.Module):
         b, n, _ = x.shape
         c, s, z_dim = self.num_classes, self.sample_num, self.z_dim
         det = not train
+        # x_dim/num_tokens pin the backbone contract ([B,144,1024] fundus /
+        # [B,216,768] OCT, ``fusion_net.py:95-96,783-784``).  The Dense
+        # layers infer their in-dims from the runtime input, so enforce the
+        # declared shapes here — a silent mismatch would otherwise train a
+        # differently-shaped model than configured.
+        if x.shape[-1] != self.x_dim or n != self.num_tokens:
+            raise ValueError(
+                f"EPRL configured for [B, {self.num_tokens}, {self.x_dim}] "
+                f"tokens, got {x.shape}"
+            )
 
         # --- encoder MLP (x_dim -> 2z -> 2z -> z), ``fusion_net.py:82-90`` ---
         h = nn.Dense(2 * z_dim, dtype=self.dtype, name="enc1")(x.astype(self.dtype))

@@ -30,8 +30,11 @@ class Res2NetBottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = True):
         mid = self.width * self.scales
+        # momentum 0.9 == torch BatchNorm default 0.1 (flax's 0.99 would
+        # track running stats 10x slower than the reference).
         norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, name=name
+            use_running_average=not train, momentum=0.9, dtype=jnp.float32,
+            name=name,
         )
         h = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         h = nn.relu(norm("bn1")(h))
@@ -41,8 +44,22 @@ class Res2NetBottleneck(nn.Module):
         outs = []
         prev = None
         for i, sp in enumerate(splits):
-            if i == 0 and self.stride == 1:
-                outs.append(sp)
+            if i == 0:
+                # Split 0 never goes through a conv (scales-1 convs per
+                # block, as in Res2Net): identity in ordinary blocks,
+                # avg-pooled in downsampling ("stage") blocks.  Guarding on
+                # i alone (not i and stride) avoids building a conv3x3_0
+                # whose output was previously overwritten by the pool —
+                # dead parameters and a wasted full conv per stage block.
+                outs.append(
+                    sp
+                    if self.stride == 1
+                    else nn.avg_pool(
+                        sp, (3, 3),
+                        strides=(self.stride, self.stride),
+                        padding="SAME",
+                    )
+                )
                 continue
             inp = sp if prev is None else sp + prev
             o = nn.Conv(
@@ -55,12 +72,8 @@ class Res2NetBottleneck(nn.Module):
             )(inp)
             o = nn.relu(norm(f"bn3x3_{i}")(o))
             outs.append(o)
+            # Stage blocks (stride > 1) have no hierarchical residual chain.
             prev = o if self.stride == 1 else None
-        if self.stride != 1:
-            # Stride >1: the first split is pooled instead of passed through.
-            outs[0] = nn.avg_pool(
-                splits[0], (3, 3), strides=(self.stride, self.stride), padding="SAME"
-            )
         h = jnp.concatenate(outs, axis=-1)
 
         h = nn.Conv(
@@ -97,8 +110,11 @@ class Res2Net2D(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = True) -> Tuple[jax.Array, jax.Array]:
         x = x.astype(self.dtype)
+        # momentum 0.9 == torch BatchNorm default 0.1 (flax's 0.99 would
+        # track running stats 10x slower than the reference).
         norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, name=name
+            use_running_average=not train, momentum=0.9, dtype=jnp.float32,
+            name=name,
         )
         # v1b deep stem: three 3x3 convs.
         h = nn.Conv(32, (3, 3), strides=(2, 2), use_bias=False, dtype=self.dtype)(x)

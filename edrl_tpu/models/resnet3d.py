@@ -28,8 +28,10 @@ class BasicBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
+        # momentum 0.9 == torch BatchNorm default 0.1 (flax default 0.99).
         norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, name=name
+            use_running_average=not train, momentum=0.9, dtype=jnp.float32,
+            name=name,
         )
         s = (self.stride,) * 3
         h = nn.Conv(self.channels, (3, 3, 3), strides=s, use_bias=False, dtype=self.dtype)(x)
@@ -64,7 +66,10 @@ class ResNet3D(nn.Module):
             dtype=self.dtype,
             name="stem",
         )(x)
-        h = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn_stem")(h)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=jnp.float32,
+            name="bn_stem",
+        )(h)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3, 3), strides=(2, 2, 2), padding="SAME")
 
