@@ -344,7 +344,10 @@ def main(argv=None):
     if cfg.train.mode in ("test", "train&test"):
         _, state = init_state(cfg, cfg.train.seed)
         # ``--test_epoch`` parity (``fusion_train.py:517``): evaluate that
-        # epoch's checkpoint when one was kept (--save_every), else best.
+        # epoch's checkpoint when one was kept (--save_every), else best,
+        # else the rolling latest (a preempted run may never have saved a
+        # best) — and say so loudly if nothing restorable exists, instead
+        # of silently reporting chance-level metrics from random init.
         epoch_name = f"epoch_{args.test_epoch}"
         if args.test_epoch and os.path.isdir(os.path.join(ckpt_dir, epoch_name)):
             state = mgr.restore(state, epoch_name)
@@ -356,6 +359,22 @@ def main(argv=None):
                     "checkpoint kept (see --save_every); evaluating best"
                 )
             state = mgr.restore(state, "best")
+        elif mgr.latest_info() is not None:
+            emit("No 'best' checkpoint; evaluating the rolling 'latest'")
+            state = mgr.restore(state, "latest")
+        else:
+            emit(
+                f"WARNING: no checkpoint found under {ckpt_dir}; evaluating "
+                "RANDOMLY INITIALIZED weights — metrics below are not a "
+                "trained model's"
+            )
+        if mesh is not None and mesh.devices.size > 1:
+            # Mesh placement: the restored state lives on device 0 while
+            # run_eval shards batches over the mesh; mixing the two inside
+            # one jitted call raises 'Received incompatible devices'.
+            from edrl_tpu.parallel.mesh import train_state_shardings
+
+            state = jax.device_put(state, train_state_shardings(state, mesh))
         eval_step = make_eval_step(make_model(cfg), cfg)
         report_eval(emit, cfg, state, eval_step, val_loader, mesh=mesh)
 

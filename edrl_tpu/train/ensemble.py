@@ -89,14 +89,12 @@ def ensemble_predict(
 
     @jax.jit
     def make_view(fundus_raw, oct_raw):
-        # uint8-transport loaders ship clean {fundus, oct}; build the
-        # deterministic low-noise eval view on device (same fixed key as
-        # ``make_eval_step``).
-        from edrl_tpu.data.device_noise import make_low_view_device
+        # The shared deterministic low-noise eval view (one protocol across
+        # every eval surface — ``trainer.eval_low_view``).
+        from edrl_tpu.train.trainer import eval_low_view
 
-        return make_low_view_device(
-            _dequantize(fundus_raw), _dequantize(oct_raw), noise_cfg,
-            jax.random.key(123),
+        return eval_low_view(
+            {"fundus": fundus_raw, "oct": oct_raw}, noise_cfg
         )
 
     @jax.jit

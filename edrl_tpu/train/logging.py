@@ -80,6 +80,22 @@ class CsvMetricWriter:
             with open(path, "w", newline="") as f:
                 csv.writer(f).writerow(_HEADER)
 
+    def drop_rows_from(self, epoch: int) -> int:
+        """Remove rows with Epoch >= ``epoch`` (preemption resume: epochs
+        after the restored ``latest`` checkpoint re-run and re-write their
+        rows; without this the CSV keeps the pre-crash duplicates).
+        Returns the number of rows dropped."""
+        with open(self.path, newline="") as f:
+            rows = list(csv.reader(f))
+        kept = [rows[0]] + [
+            r for r in rows[1:] if r and int(float(r[0])) < epoch
+        ]
+        dropped = len(rows) - len(kept)
+        if dropped:
+            with open(self.path, "w", newline="") as f:
+                csv.writer(f).writerows(kept)
+        return dropped
+
     def write(self, epoch: int, m: EpochMetrics):
         with open(self.path, "a", newline="") as f:
             csv.writer(f).writerow(

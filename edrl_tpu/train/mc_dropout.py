@@ -87,30 +87,25 @@ def mc_dropout_predict(
     base = jax.random.key(seed)
 
     targets: List[np.ndarray] = []
-    probs: List[np.ndarray] = []
-    stds: List[np.ndarray] = []
+    dev_probs: List[jax.Array] = []
+    dev_stds: List[jax.Array] = []
     for i, batch in enumerate(loader.epoch(0)):
         arrays = jax.tree_util.tree_map(jnp.asarray, batch)
-        if "fundus_low" in arrays:
-            fundus, oct_vol = arrays["fundus_low"], arrays["oct_low"]
-        else:
-            from edrl_tpu.data.device_noise import make_low_view_device
-            from edrl_tpu.train.trainer import _dequantize
+        # The shared deterministic low-noise eval view (trainer.eval_low_view).
+        from edrl_tpu.train.trainer import eval_low_view
 
-            fundus, oct_vol = make_low_view_device(
-                _dequantize(arrays["fundus"]),
-                _dequantize(arrays["oct"]),
-                cfg.data.noise,
-                jax.random.key(123),
-            )
+        fundus, oct_vol = eval_low_view(arrays, cfg.data.noise)
         mean, std = predict(
             state, fundus, oct_vol, arrays["label"], jax.random.fold_in(base, i)
         )
         targets.append(np.asarray(batch["label"]))
-        probs.append(np.asarray(mean))
-        stds.append(np.asarray(std))
+        # Device futures only; a per-batch np.asarray() sync serializes the
+        # next batch's upload behind the K-sample scan (tunnel discipline —
+        # same fix as ensemble_predict's one-deferred-sync loop).
+        dev_probs.append(mean)
+        dev_stds.append(std)
     return {
         "targets": np.concatenate(targets),
-        "probs": np.concatenate(probs),
-        "predictive_std": np.concatenate(stds),
+        "probs": np.concatenate([np.asarray(p) for p in dev_probs]),
+        "predictive_std": np.concatenate([np.asarray(s) for s in dev_stds]),
     }

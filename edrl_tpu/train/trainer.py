@@ -226,9 +226,14 @@ def make_train_step(
                 mutable=["batch_stats"],
             )
             logits, loss1, feat1, aux = _normalize_output(out1)
-            if cfg.train.mmd_weight == 0.0:
-                # Ablation: the high-noise forward only feeds the MMD term —
-                # skip it entirely (half the FLOPs) when the term is off.
+            if (
+                cfg.train.mmd_weight == 0.0
+                and cfg.train.js_distillation_weight == 0.0
+            ):
+                # Ablation: the high-noise forward only feeds the dual-view
+                # terms (MK-MMD, JS distillation) — skip it entirely (half
+                # the FLOPs) only when BOTH are off; '-MMD +JSD' still needs
+                # the second forward's logits.
                 return loss1, (upd1["batch_stats"], logits, aux, jnp.asarray(0.0))
             # Second full forward on the high-noise view; its own loss is
             # discarded, only features feed MK-MMD (``fusion_train.py:194``).
@@ -278,6 +283,30 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,)) if jit else step_fn
 
 
+def eval_low_view(batch, noise_cfg):
+    """The deterministic LOW-noise eval view (parity ``fusion_train.py:277``).
+
+    uint8-transport loaders ship clean ``{fundus, oct}``: dequantize and
+    build the low view on device with the FIXED key 123 (eval noise is
+    deterministic across runs — the reference replayed a frozen host seed,
+    ledger #11 analog); host-noise loaders already carry
+    ``{fundus_low, oct_low}``.  ONE implementation shared by
+    ``make_eval_step``, ``ensemble.ensemble_predict`` and
+    ``mc_dropout.mc_dropout_predict`` so every eval surface sees the same
+    view protocol.
+    """
+    if "fundus_low" in batch:
+        return batch["fundus_low"], batch["oct_low"]
+    from edrl_tpu.data.device_noise import make_low_view_device
+
+    return make_low_view_device(
+        _dequantize(batch["fundus"]),
+        _dequantize(batch["oct"]),
+        noise_cfg,
+        jax.random.key(123),
+    )
+
+
 def make_eval_step(model, cfg: EDRLConfig):
     """Eval on the LOW-noise view only (parity ``fusion_train.py:277``).
 
@@ -289,19 +318,7 @@ def make_eval_step(model, cfg: EDRLConfig):
 
     def step_fn(state: TrainState, batch, modality_mask=None):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        if "fundus" in batch:
-            from edrl_tpu.data.device_noise import make_low_view_device
-
-            # Fixed key: eval noise is deterministic across runs (the
-            # reference replayed a frozen host seed — ledger #11 analog).
-            fundus, oct_vol = make_low_view_device(
-                _dequantize(batch["fundus"]),
-                _dequantize(batch["oct"]),
-                noise_cfg,
-                jax.random.key(123),
-            )
-        else:
-            fundus, oct_vol = batch["fundus_low"], batch["oct_low"]
+        fundus, oct_vol = eval_low_view(batch, noise_cfg)
         kwargs = {}
         if modality_mask is not None:
             if native_mask:
@@ -423,20 +440,35 @@ def run_eval(
     modality_mask: Optional[np.ndarray] = None,
     mesh=None,
 ) -> Tuple[metrics_lib.EpochMetrics, np.ndarray, np.ndarray]:
-    targets, dev_probs, dev_losses = [], [], []
+    targets, dev_probs, dev_losses, real_sizes = [], [], [], []
     loss_meter = AverageMeter()
     mask = None if modality_mask is None else jnp.asarray(modality_mask)
+    data_axis = int(mesh.shape.get("data", 1)) if mesh is not None else 1
     for batch in loader.epoch(epoch):
+        n = int(batch["label"].shape[0])
+        pad = (-n) % data_axis
+        if pad:
+            # Val loaders keep the remainder batch (drop_last=False); a
+            # partial batch is not shardable over the data axis, so pad by
+            # repeating the last sample and slice the probs back after the
+            # loop.  (The padded rows also enter this batch's mean loss —
+            # the same equal-batch-weight approximation AverageMeter already
+            # makes.)
+            batch = {
+                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                for k, v in batch.items()
+            }
         arrays = _to_device(batch, mesh)
         out = eval_step(state, arrays) if mask is None else eval_step(
             state, arrays, mask
         )
-        targets.append(np.asarray(batch["label"]))
+        targets.append(np.asarray(batch["label"][:n]))
+        real_sizes.append(n)
         # Keep device futures; a per-batch float()/asarray() sync serializes
         # the next batch's upload behind this batch's compute.
         dev_probs.append(out["probs"])
         dev_losses.append(out["loss"])
-    probs = [np.asarray(p) for p in dev_probs]
+    probs = [np.asarray(p)[:n] for p, n in zip(dev_probs, real_sizes)]
     for loss in dev_losses:
         loss_meter.update(float(loss))
     if not targets:
@@ -570,6 +602,10 @@ def fit(
                 f"{cfg.data.dataset}_{cfg.data.noise.gaussian_high}_{cfg.train.name}.csv",
             )
         )
+        if cfg.train.resume and cfg.train.start_epoch > 1:
+            # Epochs re-run after the restored `latest` checkpoint re-write
+            # their rows; drop the pre-crash duplicates first.
+            writer.drop_rows_from(cfg.train.start_epoch)
 
     plateau = None
     if cfg.train.use_plateau_schedule:

@@ -105,6 +105,43 @@ class TestMmdWeightAblation:
         p1 = np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
         assert not np.allclose(p0, p1)
 
+    def test_js_distillation_survives_zero_mmd_weight(self, cfg):
+        """-MMD +JSD must still run the second forward: the skip-the-
+        high-view optimization is only valid when BOTH dual-view terms are
+        off (previously mmd_weight==0 alone dropped the JS term silently,
+        making a '+JSD' ablation identical to plain '-MMD')."""
+        import jax
+
+        from edrl_tpu.train.trainer import (
+            init_state,
+            make_model,
+            make_optimizer,
+            make_train_step,
+        )
+
+        d = cfg.data
+        rng = np.random.default_rng(0)
+        batch = {
+            "fundus_low": rng.uniform(size=(4, d.fundus_size, d.fundus_size, 3)).astype(np.float32),
+            "fundus_high": rng.uniform(size=(4, d.fundus_size, d.fundus_size, 3)).astype(np.float32),
+            "oct_low": rng.uniform(size=(4, *d.oct_size, 1)).astype(np.float32),
+            "oct_high": rng.uniform(size=(4, *d.oct_size, 1)).astype(np.float32),
+            "label": np.array([0, 1, 0, 1], np.int32),
+        }
+        losses = {}
+        for js in (0.0, 10.0):
+            c = cfg.replace(
+                train=dataclasses.replace(
+                    cfg.train, mmd_weight=0.0, js_distillation_weight=js
+                )
+            )
+            _, state = init_state(c, 0)
+            step = make_train_step(make_model(c), make_optimizer(c), c)
+            _, out = step(state, dict(batch), jax.random.key(0))
+            losses[js] = float(out["loss"])
+        assert np.isfinite(losses[10.0])
+        assert losses[10.0] != losses[0.0], losses
+
     def test_variant_configs(self):
         import importlib.util
         import os

@@ -402,6 +402,43 @@ class TestScannedMeshEpoch:
         _, result = fit(cfg, train_loader, val_loader, mesh=mesh, verbose=False)
         assert np.isfinite(result.train_history[-1].loss)
 
+    def test_run_eval_pads_remainder_batch_under_mesh(self, mesh):
+        """Val loaders keep the remainder (drop_last=False); a 12-sample val
+        set at batch 8 yields a final batch of 4, which is not shardable
+        over an 8-way data axis — run_eval must pad it (and slice the probs
+        back) instead of crashing in jax.device_put.  Also exercises the
+        test-phase placement: a restored/fresh state must be device_put to
+        the mesh shardings before a mesh run_eval."""
+        import dataclasses
+
+        from edrl_tpu.data import BatchLoader, SyntheticGammaDataset
+        from edrl_tpu.parallel.mesh import train_state_shardings
+        from edrl_tpu.train.trainer import (
+            init_state,
+            make_eval_step,
+            make_model,
+            run_eval,
+        )
+
+        cfg = tiny_test_config(batch_size=8)
+        cfg = cfg.replace(
+            data=dataclasses.replace(
+                cfg.data, num_synthetic_samples=12, device_noise=True
+            )
+        )
+        loader = BatchLoader(
+            SyntheticGammaDataset(cfg.data, mode="val"),
+            8, shuffle=False, drop_last=False, uint8_transport=True,
+        )
+        _, state = init_state(cfg, 0)
+        state = jax.device_put(state, train_state_shardings(state, mesh))
+        eval_step = make_eval_step(make_model(cfg), cfg)
+        m, targets, probs = run_eval(state, eval_step, loader, mesh=mesh)
+        n = len(loader.dataset) if hasattr(loader, "dataset") else 12
+        assert targets.shape[0] == probs.shape[0]
+        assert targets.shape[0] == 12 or targets.shape[0] == n
+        assert np.isfinite(m.loss)
+
 
 class TestDriverContract:
     """The driver imports ``__graft_entry__`` and calls ``dryrun_multichip(8)``

@@ -70,6 +70,23 @@ class TestSmokeTrain:
         assert lines[0].startswith("Epoch,Loss,Accuracy")
         assert len(lines) >= 3  # header + 2 epochs
 
+    def test_csv_resume_drops_replayed_epoch_rows(self, tmp_path):
+        """Preemption resume re-runs epochs after the restored `latest`; the
+        writer must drop the pre-crash rows for those epochs or the CSV
+        double-counts them."""
+        from edrl_tpu.train.logging import CsvMetricWriter
+        from edrl_tpu.train.metrics import EpochMetrics
+
+        path = str(tmp_path / "m.csv")
+        w = CsvMetricWriter(path)
+        m = EpochMetrics(1.0, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5)
+        for e in (1, 2, 3, 4):
+            w.write(e, m)
+        assert w.drop_rows_from(3) == 2  # epochs 3 and 4 replayed
+        rows = open(path).read().strip().splitlines()
+        assert [r.split(",")[0] for r in rows] == ["Epoch", "1", "2"]
+        assert w.drop_rows_from(3) == 0  # idempotent
+
 
 class TestLongerTrainingLearns:
     def test_loss_decreases_over_epochs(self, cfg, loaders):
