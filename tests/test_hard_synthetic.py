@@ -239,7 +239,9 @@ class TestMmdWeightAblation:
         """A non-default --output gets its own <stem>_ANALYSIS.md appendix
         (or none at all if absent) — never the default study's narrative.
         Also renders the committed LONG analysis, asserting every
-        {{placeholder}} it quotes resolves from full+late rows alone."""
+        {{placeholder}} it quotes resolves once all five study variants
+        have rows (the mechanism-attribution sections quote the ablated
+        variants too, so full+late alone is no longer sufficient)."""
         import importlib.util
         import os
 
@@ -263,7 +265,13 @@ class TestMmdWeightAblation:
 
         rows = [
             row(n, s)
-            for n in ("MedFusion (full EDRL)", "Multi_ResNet (late fusion)")
+            for n in (
+                "MedFusion (full EDRL)",
+                "Multi_ResNet (late fusion)",
+                "MedFusion -MMD",
+                "MedFusion -EPRL",
+                "MedFusion -DILR",
+            )
             for s in (0, 1)
         ]
         # explicit path -> that appendix, not the default one
