@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_epoch", type=int, default=0)
     p.add_argument("--lambda_epochs", type=int, default=50)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument(
+        "--warmup_steps", type=int, default=0,
+        help="linear LR warmup over N optimizer steps (0 = reference "
+        "behavior; see TrainConfig.warmup_steps)",
+    )
     p.add_argument("--model_name", default="MedFusion")
     p.add_argument("--dataset", default="synthetic", help="synthetic/dr2/glu2")
     p.add_argument("--folder", default="folder0")
@@ -140,6 +145,7 @@ def config_from_args(args) -> EDRLConfig:
     train = TrainConfig(
         mode=args.mode,
         lr=args.lr,
+        warmup_steps=getattr(args, "warmup_steps", 0),
         start_epoch=args.start_epoch,
         end_epochs=args.end_epochs,
         seed=args.seed,

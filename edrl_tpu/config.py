@@ -167,6 +167,14 @@ class TrainConfig:
 
     mode: str = "train&test"  # "train" | "test" | "train&test"
     lr: float = 1e-5  # Run_fusion.sh value
+    # Linear LR warmup over this many optimizer steps (0 = off, the
+    # reference's constant-lr behavior).  Framework extension, not parity:
+    # the reference has no warmup, and the long-budget study found seeds
+    # where the full EDRL loss sits on its initial plateau for the whole
+    # budget (ABLATION_FUSION_LONG.md section 5) — the standard first-line
+    # fix.  Implemented as a multiplicative factor downstream of the
+    # injected base lr, so the plateau schedule's lr mutation composes.
+    warmup_steps: int = 0
     weight_decay: float = 1e-6  # Adam weight_decay (``fusion_train.py:747``)
     start_epoch: int = 1
     end_epochs: int = 200

@@ -78,10 +78,23 @@ def make_optimizer(cfg: EDRLConfig) -> optax.GradientTransformation:
     from edrl_tpu.baselines.registry import ENSEMBLE_LRS
 
     lr = ENSEMBLE_LRS.get(cfg.model.model_name, cfg.train.lr)
-    return optax.chain(
+    parts = [
         optax.add_decayed_weights(cfg.train.weight_decay),
         optax.inject_hyperparams(optax.adam)(learning_rate=lr),
-    )
+    ]
+    if cfg.train.warmup_steps > 0:
+        # Multiplicative linear warmup APPENDED to the chain: the effective
+        # lr is injected_lr * min((step+1)/warmup_steps, 1), so the plateau
+        # schedule's set_learning_rate mutation (which edits the injected
+        # base lr at opt_state index 1) composes unchanged, as do
+        # get_learning_rate and checkpoint restore of pre-warmup states.
+        w = cfg.train.warmup_steps
+
+        def _warmup_factor(step):
+            return jnp.minimum((step + 1.0) / w, 1.0)
+
+        parts.append(optax.scale_by_schedule(_warmup_factor))
+    return optax.chain(*parts)
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:

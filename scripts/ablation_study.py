@@ -63,6 +63,7 @@ def base_config(args) -> EDRLConfig:
         model=ModelConfig(use_bfloat16=True),
         train=TrainConfig(
             lr=args.lr,
+            warmup_steps=args.warmup_steps,
             end_epochs=args.epochs,
             log_dir="",
             checkpoint_dir="",
@@ -108,7 +109,7 @@ def protocol_of(args) -> dict:
     in to_markdown or silently mixed grids); rows now carry their protocol
     and mismatches are invalidated on load.
     """
-    return {
+    out = {
         "protocol": args.protocol,
         # Round-3 fix: synthetic val splits are now held-out draws (they
         # used to replay train indices); rows measured on seen data must
@@ -123,6 +124,12 @@ def protocol_of(args) -> dict:
         "fundus_size": args.fundus_size,
         "oct_size": args.oct_size,
     }
+    # Optimizer-shape knobs enter the key only when active: protocol tags
+    # are compared by dict EQUALITY, so an unconditional new key would
+    # invalidate every pre-existing cached row of the default studies.
+    if args.warmup_steps:
+        out["warmup_steps"] = args.warmup_steps
+    return out
 
 
 def run_variant(name: str, seed: int, cfg: EDRLConfig, args):
@@ -433,6 +440,12 @@ def main(argv=None):
     p.add_argument("--val_samples", type=int, default=128)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--lr", type=float, default=3e-5)
+    p.add_argument(
+        "--warmup_steps", type=int, default=0,
+        help="linear LR warmup steps (0 = constant lr; nonzero enters the "
+        "protocol key, so warmup rows never mix with the default tables — "
+        "point --output at a separate file)",
+    )
     p.add_argument("--fundus_size", type=int, default=384)
     p.add_argument("--oct_size", type=int, default=96)
     p.add_argument("--sigmas", type=float, nargs="+", default=[0.0, 0.25, 0.5])

@@ -317,6 +317,30 @@ class TestMmdWeightAblation:
         assert len(kept) == 1 and kept[0]["seed"] == 0
         assert set(load_by_name_seed(str(p))) == {("a", 0)}
 
+    def test_warmup_enters_protocol_key_only_when_active(self):
+        """warmup_steps=0 must leave the protocol dict byte-identical to
+        the pre-warmup format (protocol tags compare by equality, so an
+        unconditional key would invalidate every cached study row);
+        nonzero warmup must enter the key so its rows never mix in."""
+        import importlib.util
+        import os
+
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        spec = importlib.util.spec_from_file_location(
+            "ablation_study", os.path.join(repo, "scripts", "ablation_study.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        args = mod.main.__globals__["argparse"].Namespace(
+            protocol="fusion", sigmas=[0.0], epochs=5, train_samples=8,
+            val_samples=8, batch_size=4, lr=1e-4, fundus_size=32,
+            oct_size=16, warmup_steps=0,
+        )
+        assert "warmup_steps" not in mod.protocol_of(args)
+        args.warmup_steps = 50
+        assert mod.protocol_of(args)["warmup_steps"] == 50
+
     def test_budget_gap_tool(self, tmp_path):
         """ablation_budget_gap pairs (variant, seed) rows across the
         25-epoch and 75-epoch studies, and refuses to compare studies that

@@ -417,6 +417,76 @@ class TestPlateauSchedule:
         assert final <= reduced * (1 + 1e-6), (final, reduced)
 
 
+class TestWarmup:
+    """warmup_steps: multiplicative linear LR warmup downstream of the
+    injected base lr (framework extension; the reference is constant-lr)."""
+
+    def test_warmup_scales_adam_updates_exactly(self):
+        """scale_by_schedule sits AFTER adam in the chain, so with identical
+        grads the warmed update equals the unwarmed one times
+        min((step+1)/w, 1) — exactly, at every step."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from edrl_tpu.config import tiny_test_config
+        from edrl_tpu.train.trainer import make_optimizer
+
+        c0 = tiny_test_config(batch_size=4)
+        w = 4
+        c1 = c0.replace(train=dataclasses.replace(c0.train, warmup_steps=w))
+        params = {"k": jnp.ones((3, 2)), "b": jnp.arange(2.0)}
+        grads = {"k": jnp.full((3, 2), 0.3), "b": jnp.array([0.1, -0.2])}
+        tx0, tx1 = make_optimizer(c0), make_optimizer(c1)
+        s0, s1 = tx0.init(params), tx1.init(params)
+        for step in range(w + 2):
+            u0, s0 = tx0.update(grads, s0, params)
+            u1, s1 = tx1.update(grads, s1, params)
+            factor = min((step + 1) / w, 1.0)
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a) * factor, rtol=1e-6
+                ),
+                u0,
+                u1,
+            )
+
+    def test_lr_injection_composes_with_warmup(self, cfg):
+        """set/get_learning_rate address opt_state index 1 (the injected
+        adam); appending the warmup element must not move that index."""
+        import dataclasses
+
+        from edrl_tpu.train.trainer import (
+            get_learning_rate,
+            init_state,
+            set_learning_rate,
+        )
+
+        c = cfg.replace(train=dataclasses.replace(cfg.train, warmup_steps=8))
+        _, state = init_state(c, 0)
+        state = set_learning_rate(state, 5e-5)
+        assert get_learning_rate(state) == pytest.approx(5e-5)
+
+    def test_warmup_train_step_runs(self, cfg, loaders):
+        """One fit() epoch with warmup on: runs, loss finite."""
+        import dataclasses
+
+        from edrl_tpu.train.trainer import fit, init_state
+
+        c = cfg.replace(
+            train=dataclasses.replace(
+                cfg.train, warmup_steps=3, end_epochs=1, log_dir=""
+            )
+        )
+        _, state = init_state(c, 0)
+        train_loader, val_loader = loaders
+        state, result = fit(c, train_loader, val_loader, state=state,
+                             verbose=False)
+        assert np.isfinite(result.train_history[-1].loss)
+
+
 class TestObservabilityWiring:
     """fit() actually emits the reference's observability artifacts
     (VERDICT r2 missing #1): end-of-run loss/acc curve jpgs
