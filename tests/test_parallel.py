@@ -270,6 +270,42 @@ class TestZero1:
         assert out_specs == out_specs2
 
 
+class TestZero1WithWarmup:
+    """warmup_steps appends a ScaleByScheduleState to the optax chain; the
+    structure-generic ZeRO-1 mapping must still shard the adam moments,
+    replicate the schedule's count, and run a sharded step."""
+
+    def test_warmup_state_shards_and_steps(self, mesh):
+        import dataclasses
+
+        from edrl_tpu.parallel import train_state_shardings
+
+        cfg = tiny_test_config(batch_size=8)
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, warmup_steps=5))
+        tx = make_optimizer(cfg)
+        _, state = init_state(cfg, 0)
+        sh = train_state_shardings(state, mesh, zero1=True, min_bytes=0)
+        specs = [
+            s.spec
+            for s in jax.tree_util.tree_leaves(
+                sh.opt_state, is_leaf=lambda x: isinstance(x, NamedSharding)
+            )
+        ]
+        assert any("data" in tuple(spec) for spec in specs), specs
+        state = jax.device_put(state, sh)
+        step = make_train_step(make_model(cfg), tx, cfg, state_shardings=sh)
+        rng = np.random.default_rng(3)
+        batch = {
+            "fundus_low": rng.uniform(size=(8, 64, 64, 3)).astype(np.float32),
+            "fundus_high": rng.uniform(size=(8, 64, 64, 3)).astype(np.float32),
+            "oct_low": rng.uniform(size=(8, 32, 32, 32, 1)).astype(np.float32),
+            "oct_high": rng.uniform(size=(8, 32, 32, 32, 1)).astype(np.float32),
+            "label": rng.integers(0, 2, size=8).astype(np.int32),
+        }
+        s1, out = step(state, shard_batch(batch, mesh), jax.random.key(0))
+        assert np.isfinite(float(out["loss"]))
+
+
 class TestScannedMeshEpoch:
     """scan_batches composes with the mesh (VERDICT r2 weak #3): a scanned
     sharded epoch must be step-for-step identical to per-batch sharded
