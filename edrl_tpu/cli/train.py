@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="linear LR warmup over N optimizer steps (0 = reference "
         "behavior; see TrainConfig.warmup_steps)",
     )
+    p.add_argument(
+        "--grad_clip_norm", type=float, default=0.0,
+        help="global-norm gradient clipping (0 = off, reference behavior)",
+    )
     p.add_argument("--model_name", default="MedFusion")
     p.add_argument("--dataset", default="synthetic", help="synthetic/dr2/glu2")
     p.add_argument("--folder", default="folder0")
@@ -146,6 +150,7 @@ def config_from_args(args) -> EDRLConfig:
         mode=args.mode,
         lr=args.lr,
         warmup_steps=getattr(args, "warmup_steps", 0),
+        grad_clip_norm=getattr(args, "grad_clip_norm", 0.0),
         start_epoch=args.start_epoch,
         end_epochs=args.end_epochs,
         seed=args.seed,

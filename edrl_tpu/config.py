@@ -175,6 +175,10 @@ class TrainConfig:
     # fix.  Implemented as a multiplicative factor downstream of the
     # injected base lr, so the plateau schedule's lr mutation composes.
     warmup_steps: int = 0
+    # Global-norm gradient clipping before the optimizer (0 = off, the
+    # reference's behavior).  Framework extension: standard stability knob,
+    # applied to raw gradients upstream of weight decay (torch idiom).
+    grad_clip_norm: float = 0.0
     weight_decay: float = 1e-6  # Adam weight_decay (``fusion_train.py:747``)
     start_epoch: int = 1
     end_epochs: int = 200

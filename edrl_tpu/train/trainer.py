@@ -78,7 +78,13 @@ def make_optimizer(cfg: EDRLConfig) -> optax.GradientTransformation:
     from edrl_tpu.baselines.registry import ENSEMBLE_LRS
 
     lr = ENSEMBLE_LRS.get(cfg.model.model_name, cfg.train.lr)
-    parts = [
+    parts = []
+    if cfg.train.grad_clip_norm > 0:
+        # Clip the raw gradients BEFORE the decayed weights are folded in,
+        # matching the torch idiom (clip_grad_norm_ runs on .grad before
+        # optimizer.step applies weight decay).
+        parts.append(optax.clip_by_global_norm(cfg.train.grad_clip_norm))
+    parts += [
         optax.add_decayed_weights(cfg.train.weight_decay),
         optax.inject_hyperparams(optax.adam)(learning_rate=lr),
     ]
@@ -97,19 +103,32 @@ def make_optimizer(cfg: EDRLConfig) -> optax.GradientTransformation:
     return optax.chain(*parts)
 
 
+def _injected_lr_index(opt_state) -> int:
+    """Position of the inject_hyperparams(adam) element in the optax chain.
+
+    Found by structure, not by a hardcoded index: optional chain elements
+    (grad clipping upstream, warmup downstream) move it."""
+    for i, el in enumerate(opt_state):
+        if "learning_rate" in getattr(el, "hyperparams", {}):
+            return i
+    raise ValueError("no injected learning_rate in opt_state")
+
+
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     """Mutate the injected lr hyperparam (used by the plateau schedule)."""
     opt_state = list(state.opt_state)
-    inner = opt_state[1]
+    i = _injected_lr_index(opt_state)
+    inner = opt_state[i]
     hyperparams = dict(inner.hyperparams)
     hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-    opt_state[1] = inner._replace(hyperparams=hyperparams)
+    opt_state[i] = inner._replace(hyperparams=hyperparams)
     return state.replace(opt_state=tuple(opt_state))
 
 
 def get_learning_rate(state: TrainState) -> float:
     """The live injected lr (inverse of ``set_learning_rate``)."""
-    return float(state.opt_state[1].hyperparams["learning_rate"])
+    i = _injected_lr_index(state.opt_state)
+    return float(state.opt_state[i].hyperparams["learning_rate"])
 
 
 class PlateauTracker:

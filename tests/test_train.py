@@ -469,6 +469,65 @@ class TestWarmup:
         state = set_learning_rate(state, 5e-5)
         assert get_learning_rate(state) == pytest.approx(5e-5)
 
+    def test_grad_clip_identity_below_threshold_active_above(self):
+        """clip_by_global_norm upstream of adam: a threshold above every
+        step's gradient norm leaves the chain's updates bit-identical to the
+        unclipped optimizer, while a threshold that clips step 1 changes
+        step 2 (adam's single-step update is scale-invariant — m/sqrt(v)
+        cancels a uniform rescale — so the effect is only visible through
+        the moment history across steps with different gradient scales)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from edrl_tpu.config import tiny_test_config
+        from edrl_tpu.train.trainer import make_optimizer
+
+        c0 = tiny_test_config(batch_size=4)
+        params = {"k": jnp.ones((3, 2))}
+        g_big = {"k": jnp.full((3, 2), 4.0)}  # global norm ~9.8
+        g_small = {"k": jnp.full((3, 2), 0.1)}  # global norm ~0.24
+
+        def two_step_update(cfg):
+            opt = make_optimizer(cfg)
+            st = opt.init(params)
+            _, st = opt.update(g_big, st, params)
+            u2, _ = opt.update(g_small, st, params)
+            return np.asarray(u2["k"])
+
+        above = c0.replace(
+            train=dataclasses.replace(c0.train, grad_clip_norm=100.0)
+        )
+        clipping = c0.replace(
+            train=dataclasses.replace(c0.train, grad_clip_norm=1.0)
+        )
+        u_plain = two_step_update(c0)
+        u_above = two_step_update(above)
+        u_clipping = two_step_update(clipping)
+        np.testing.assert_array_equal(u_plain, u_above)
+        assert not np.allclose(u_plain, u_clipping)
+
+    def test_lr_injection_found_by_structure(self, cfg):
+        """Optional chain elements (clip upstream, warmup downstream) move
+        the injected-adam element; set/get_learning_rate must find it by
+        structure in every combination."""
+        import dataclasses
+
+        from edrl_tpu.train.trainer import (
+            get_learning_rate,
+            init_state,
+            set_learning_rate,
+        )
+
+        for knobs in (
+            {"grad_clip_norm": 1.0},
+            {"grad_clip_norm": 1.0, "warmup_steps": 4},
+        ):
+            c = cfg.replace(train=dataclasses.replace(cfg.train, **knobs))
+            _, state = init_state(c, 0)
+            state = set_learning_rate(state, 7e-5)
+            assert get_learning_rate(state) == pytest.approx(7e-5), knobs
+
     def test_warmup_train_step_runs(self, cfg, loaders):
         """One fit() epoch with warmup on: runs, loss finite."""
         import dataclasses
