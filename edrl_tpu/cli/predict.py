@@ -34,9 +34,28 @@ def main(argv=None):
     parser.add_argument("--output", default="", help="write probs as CSV here")
     parser.add_argument("--num", type=int, default=16, help="synthetic pairs if no --input")
     parser.add_argument("--int8", action="store_true", help="W8A8 int8 Dense matmuls")
+    parser.add_argument(
+        "--int8_calibrate", type=int, default=0,
+        help="with --int8: calibrate static per-tensor activation scales on "
+        "the first N input pairs (0 = dynamic per-row scales)",
+    )
     parser.add_argument("--chunk_batches", type=int, default=1)
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
+
+    d = cfg.data
+    if args.input:
+        data = np.load(args.input)
+        fundus, oct_vol = data["fundus"], data["oct"]
+    else:
+        rng = np.random.default_rng(cfg.train.seed)
+        fundus = (rng.uniform(size=(args.num, d.fundus_size, d.fundus_size, 3)) * 255).astype(np.uint8)
+        oct_vol = (rng.uniform(size=(args.num, *d.oct_size, 1)) * 255).astype(np.uint8)
+
+    calibration = None
+    if args.int8 and args.int8_calibrate > 0:
+        n = min(args.int8_calibrate, len(fundus))
+        calibration = (fundus[:n], oct_vol[:n])
 
     from edrl_tpu.serve import Predictor
 
@@ -49,6 +68,7 @@ def main(argv=None):
             directory or ".",
             name=name or None,
             quantize_int8=args.int8,
+            int8_calibration=calibration,
             chunk_batches=args.chunk_batches,
         )
     else:
@@ -57,7 +77,11 @@ def main(argv=None):
         print("no --checkpoint: serving randomly initialized weights (smoke run)")
         _, state = init_state(cfg, cfg.train.seed)
         predictor = Predictor(
-            cfg, state, quantize_int8=args.int8, chunk_batches=args.chunk_batches
+            cfg,
+            state,
+            quantize_int8=args.int8,
+            int8_calibration=calibration,
+            chunk_batches=args.chunk_batches,
         )
     if args.int8:
         r = predictor.quant_report
@@ -65,16 +89,12 @@ def main(argv=None):
             f"int8: {r['dense_modules_quantized']}/{r['dense_modules_seen']} Dense "
             f"modules quantized, param bytes {r['param_bytes_before']:,} -> "
             f"{r['param_bytes_after']:,}"
+            + (
+                f"; {r['static_activation_scales']} static activation scales"
+                if calibration is not None
+                else ""
+            )
         )
-
-    d = cfg.data
-    if args.input:
-        data = np.load(args.input)
-        fundus, oct_vol = data["fundus"], data["oct"]
-    else:
-        rng = np.random.default_rng(cfg.train.seed)
-        fundus = (rng.uniform(size=(args.num, d.fundus_size, d.fundus_size, 3)) * 255).astype(np.uint8)
-        oct_vol = (rng.uniform(size=(args.num, *d.oct_size, 1)) * 255).astype(np.uint8)
 
     t0 = time.perf_counter()
     probs = predictor.predict_probs(fundus, oct_vol)

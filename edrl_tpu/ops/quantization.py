@@ -11,6 +11,12 @@ calibration data or retraining needed — and swaps the matmul for an
 method-interception API.  Everything around the matmuls (LayerNorm,
 attention softmax, the Pallas attention kernels, losses) stays bf16/f32.
 
+Optionally, ``calibrate_activation_scales`` records *static* per-tensor
+activation scales from a calibration batch (classic static-PTQ): the
+interceptor then skips the dynamic per-row abs-max reduce — the extra full
+read of every activation tensor that BASELINE.md's int8 bench measured as
+the reason dynamic W8A8 loses to bf16 at serving batch sizes.
+
 This is a serving-path extension beyond the reference (which serves f32
 torch, ``fusion_test.py:336-386``); accuracy impact is measured, not
 assumed — see ``tests/test_quantization.py`` and the serving section of
@@ -46,6 +52,13 @@ from flax import traverse_util
 from flax.core import unfreeze
 
 Path = Tuple[str, ...]
+
+# Reserved key suffix: a static activation scale for the Dense at path key
+# ``k`` lives at ``k + ACT_SUFFIX`` in the same scales dict, so calibrated
+# scales ride through jit arguments, ensemble stacking, and jax.export
+# exactly like the weight scales do.  Module paths are "/"-joined flax
+# names, which never contain "@".
+ACT_SUFFIX = "@act"
 
 
 def _path_key(path: Path) -> str:
@@ -111,21 +124,82 @@ def _dynamic_quantize_rows(x: jax.Array):
     return q, s
 
 
+def calibrate_activation_scales(
+    model: nn.Module, variables, scales, *calib_args, **calib_kwargs
+) -> Dict[str, jax.Array]:
+    """Static per-tensor activation scales from a calibration batch.
+
+    Runs ONE jitted forward of the *unquantized* ``variables`` (classic PTQ
+    calibration measures the fp activation distribution) and records, for
+    every Dense path already present in ``scales``, the abs-max of that
+    module's input.  Returns a new scales dict with scalar f32
+    ``"<path>@act"`` entries (abs-max / 127) added; ``make_int8_interceptor``
+    then quantizes activations with these instead of the dynamic per-row
+    abs-max reduce, removing one full read of every quantized Dense's input
+    tensor at serve time (the overhead BASELINE.md's int8 bench measured).
+
+    Per-tensor static scales are coarser than per-row dynamic ones and
+    serving values outside the calibrated range saturate — calibrate on a
+    batch that covers the serving distribution and measure the accuracy
+    delta (``tests/test_quantization.py`` does, and ``scripts/bench_int8.py
+    --static`` measures both axes on the flagship).
+    """
+    target = {k for k in scales if not k.endswith(ACT_SUFFIX)}
+
+    def run(v, *args):
+        amax: Dict[str, jax.Array] = {}
+
+        def recorder(next_fun, f_args, f_kwargs, context):
+            mod = context.module
+            if isinstance(mod, nn.Dense) and context.method_name == "__call__":
+                key = _path_key(tuple(mod.path))
+                if key in target:
+                    a = jnp.max(jnp.abs(f_args[0].astype(jnp.float32)))
+                    prev = amax.get(key, jnp.zeros((), jnp.float32))
+                    amax[key] = jnp.maximum(prev, a)
+            return next_fun(*f_args, **f_kwargs)
+
+        with nn.intercept_methods(recorder):
+            model.apply(v, *args, **calib_kwargs)
+        return amax
+
+    amax = jax.jit(run)(variables, *calib_args)
+    out = dict(scales)
+    for key, a in amax.items():
+        out[key + ACT_SUFFIX] = jnp.maximum(a, 1e-12) / 127.0
+    return out
+
+
 def make_int8_interceptor(scales: Dict[str, jax.Array]):
     """Flax method interceptor replacing quantized Dense matmuls with
-    ``int8 x int8 -> int32`` dots + f32 rescale (+ bias)."""
+    ``int8 x int8 -> int32`` dots + f32 rescale (+ bias).
+
+    Activation scales are dynamic per-row by default; if the scales dict
+    carries a calibrated ``"<path>@act"`` entry (``calibrate_activation_
+    scales``), that static per-tensor scale is used instead — no abs-max
+    reduce over the activations at serve time."""
 
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
         if not (isinstance(mod, nn.Dense) and context.method_name == "__call__"):
             return next_fun(*args, **kwargs)
-        w_scale = scales.get(_path_key(tuple(mod.path)))
+        key = _path_key(tuple(mod.path))
+        w_scale = scales.get(key)
         if w_scale is None:
             return next_fun(*args, **kwargs)
         (x,) = args
         params = mod.variables["params"]
         w_q = params["kernel"]  # int8 [in, out]
-        x_q, x_scale = _dynamic_quantize_rows(x)
+        act_scale = scales.get(key + ACT_SUFFIX)
+        if act_scale is None:
+            x_q, x_scale = _dynamic_quantize_rows(x)
+        else:
+            # Static path: out-of-calibration-range values saturate at +-127
+            # (standard static-PTQ semantics).
+            x_scale = act_scale
+            x_q = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / x_scale), -127, 127
+            ).astype(jnp.int8)
         acc = jax.lax.dot_general(
             x_q,
             w_q,

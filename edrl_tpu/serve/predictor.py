@@ -48,6 +48,12 @@ class Predictor:
     quantize_int8: post-training-quantize Dense kernels >= ``min_dim`` to
         int8 (W8A8 dynamic).  Accuracy delta is small but nonzero — measure
         on your eval set (tests assert top-1 agreement on synthetic data).
+    int8_calibration: optional ``(fundus, oct_vol)`` calibration batch
+        (f32 in [0,1] or uint8, any N).  With ``quantize_int8``, records
+        static per-tensor activation scales from one fp forward per member
+        (``ops.quantization.calibrate_activation_scales``), replacing the
+        dynamic per-row abs-max reduce at serve time.  Coarser quantization
+        — measure the accuracy delta on your eval set.
     chunk_batches: batches per dispatch (1 = plain per-batch jit).
     """
 
@@ -57,6 +63,7 @@ class Predictor:
         state,
         *,
         quantize_int8: bool = False,
+        int8_calibration=None,
         min_dim: int = 128,
         chunk_batches: int = 1,
         mesh=None,
@@ -80,6 +87,8 @@ class Predictor:
                 f"mesh data axis ({mesh.shape['data']})"
             )
         self.quantized = bool(quantize_int8)
+        if int8_calibration is not None and not quantize_int8:
+            raise ValueError("int8_calibration requires quantize_int8=True")
         states = state if isinstance(state, (list, tuple)) else [state]
         self.num_members = len(states)
         member_vars = [
@@ -101,9 +110,33 @@ class Predictor:
                 )
                 for v in member_vars
             ]
-            member_vars = [q[0] for q in quantized]
             member_scales = [q[1] for q in quantized]
             self.quant_report = quantized[0][2]
+            if int8_calibration is not None:
+                # Static activation scales, calibrated on the fp (pre-
+                # quantization) member variables — one jitted forward per
+                # member; XLA dead-code-eliminates everything downstream of
+                # the recorded Dense inputs.
+                from edrl_tpu.ops.quantization import (
+                    calibrate_activation_scales,
+                )
+                from edrl_tpu.train.trainer import _dequantize
+
+                cf = _dequantize(jnp.asarray(int8_calibration[0]))
+                co = _dequantize(jnp.asarray(int8_calibration[1]))
+                cy = jnp.zeros((cf.shape[0],), jnp.int32)
+                member_scales = [
+                    calibrate_activation_scales(
+                        self.model, v, s, cf, co, cy, train=False
+                    )
+                    for v, s in zip(member_vars, member_scales)
+                ]
+                self.quant_report = dict(
+                    self.quant_report,
+                    static_activation_scales=len(member_scales[0])
+                    - len(quantized[0][1]),
+                )
+            member_vars = [q[0] for q in quantized]
         else:
             member_scales = [{} for _ in member_vars]
             self.quant_report = {}

@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--min_dim", type=int, default=128)
+    ap.add_argument(
+        "--static", action="store_true",
+        help="also measure static-activation-scale int8 (calibrated on the "
+        "bench batch) — removes the dynamic per-row abs-max reduce",
+    )
     args = ap.parse_args()
 
     from edrl_tpu.config import DataConfig, EDRLConfig, ModelConfig, TrainConfig
@@ -97,35 +102,60 @@ def main():
     run_bf16 = make_runner(variables, {})
     run_int8 = make_runner(qvariables, scales)
 
-    # Numerics: one forward each, compare probabilities.
-    p_ref = np.asarray(jax.jit(lambda v, f: probs_fn(v, {}, f))(variables, fundus))
-    p_q = np.asarray(
-        jax.jit(lambda v, s, f: probs_fn(v, s, f))(qvariables, scales, fundus)
-    )
-    max_delta = float(np.max(np.abs(p_ref - p_q)))
-    top1_agree = float((p_ref.argmax(-1) == p_q.argmax(-1)).mean())
+    modes = [("bf16", variables, {}), ("int8", qvariables, scales)]
+    if args.static:
+        from edrl_tpu.ops.quantization import calibrate_activation_scales
+
+        static_scales = calibrate_activation_scales(
+            model, variables, scales, fundus, oct_vol, y, train=False
+        )
+        modes.append(("int8_static", qvariables, static_scales))
+
+    # Numerics: one forward each, compare probabilities against bf16.
+    p_by_mode = {
+        name: np.asarray(
+            jax.jit(lambda v, s, f: probs_fn(v, s, f))(v, s, fundus)
+        )
+        for name, v, s in modes
+    }
+    p_ref = p_by_mode["bf16"]
 
     results = {}
-    for name, runner in (("bf16", run_bf16), ("int8", run_int8)):
+    for name, v, s in modes:
+        runner = make_runner(v, s) if name == "int8_static" else (
+            run_bf16 if name == "bf16" else run_int8
+        )
         runner()  # warmup/compile
         t0 = time.perf_counter()
         runner()
         dt = time.perf_counter() - t0
         results[name] = args.batch * args.steps / dt
 
-    print(
-        json.dumps(
-            {
-                "bf16_pairs_per_sec": round(results["bf16"], 1),
-                "int8_pairs_per_sec": round(results["int8"], 1),
-                "speedup": round(results["int8"] / results["bf16"], 3),
-                "max_abs_prob_delta": round(max_delta, 5),
-                "top1_agreement": top1_agree,
-                "dense_modules_quantized": report["dense_modules_quantized"],
-                "batch": args.batch,
-            }
+    out = {
+        "bf16_pairs_per_sec": round(results["bf16"], 1),
+        "int8_pairs_per_sec": round(results["int8"], 1),
+        "speedup": round(results["int8"] / results["bf16"], 3),
+        "max_abs_prob_delta": round(
+            float(np.max(np.abs(p_ref - p_by_mode["int8"]))), 5
+        ),
+        "top1_agreement": float(
+            (p_ref.argmax(-1) == p_by_mode["int8"].argmax(-1)).mean()
+        ),
+        "dense_modules_quantized": report["dense_modules_quantized"],
+        "batch": args.batch,
+    }
+    if args.static:
+        out.update(
+            int8_static_pairs_per_sec=round(results["int8_static"], 1),
+            static_speedup=round(results["int8_static"] / results["bf16"], 3),
+            static_max_abs_prob_delta=round(
+                float(np.max(np.abs(p_ref - p_by_mode["int8_static"]))), 5
+            ),
+            static_top1_agreement=float(
+                (p_ref.argmax(-1) == p_by_mode["int8_static"].argmax(-1)).mean()
+            ),
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

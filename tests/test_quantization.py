@@ -263,3 +263,126 @@ def test_export_roundtrip_f32_and_int8(rng):
         loaded = ExportedForward.load(path)
         out = loaded(p8.variables, p8.scales, f_dev, o_dev)
         assert out.shape == (4, cfg.model.num_classes)
+
+
+def test_calibrated_static_activation_scales(toy):
+    """calibrate_activation_scales: @act keys exactly for the quantized
+    paths, scalar positive scales, and the static path stays close to f32
+    on the calibration distribution (classic static W8A8 PTQ)."""
+    from edrl_tpu.ops.quantization import (
+        ACT_SUFFIX,
+        calibrate_activation_scales,
+    )
+
+    m, v, x = toy
+    qv, scales, _ = quantize_for_serving(m, v, x)
+    static = calibrate_activation_scales(m, v, scales, x)
+    act_keys = {k for k in static if k.endswith(ACT_SUFFIX)}
+    assert act_keys == {"big1" + ACT_SUFFIX, "big2" + ACT_SUFFIX}
+    for k in act_keys:
+        assert static[k].shape == ()
+        assert static[k].dtype == jnp.float32
+        assert float(static[k]) > 0
+    # Weight scales are untouched; the original dict is not mutated.
+    assert set(scales) == {"big1", "big2"}
+    for k in scales:
+        np.testing.assert_array_equal(static[k], scales[k])
+
+    ref = m.apply(v, x)
+    out_static = quantized_apply(m, qv, static, x)
+    denom = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert float(jnp.max(jnp.abs(out_static - ref))) / denom < 0.08
+    # The static scale is real: the calibrated abs-max reproduces the
+    # dynamic row-max bound of the calibration batch for the FIRST Dense
+    # (whose input is exactly x).
+    expected = float(jnp.max(jnp.abs(x))) / 127.0
+    np.testing.assert_allclose(float(static["big1" + ACT_SUFFIX]), expected,
+                               rtol=1e-6)
+
+
+def test_predictor_static_int8_agrees_with_f32(rng):
+    from edrl_tpu.serve import Predictor
+    from edrl_tpu.train.trainer import init_state
+
+    cfg = tiny_test_config(batch_size=4)
+    _, state = init_state(cfg, 0)
+    fundus, oct_vol = _eval_batch(cfg, rng, 8)
+
+    p32 = Predictor(cfg, state)
+    p8s = Predictor(
+        cfg,
+        state,
+        quantize_int8=True,
+        min_dim=32,
+        int8_calibration=(fundus, oct_vol),
+    )
+    assert p8s.quant_report["static_activation_scales"] > 0
+
+    probs32 = p32.predict_probs(fundus, oct_vol)
+    probs8s = p8s.predict_probs(fundus, oct_vol)
+    np.testing.assert_allclose(probs8s.sum(-1), 1.0, atol=1e-5)
+    # Per-tensor static scales are coarser than per-row dynamic; decisions
+    # should still agree on the calibration distribution.
+    assert (probs32.argmax(-1) == probs8s.argmax(-1)).mean() >= 0.85
+    assert np.max(np.abs(probs32 - probs8s)) < 0.2
+
+    with pytest.raises(ValueError):
+        Predictor(cfg, state, int8_calibration=(fundus, oct_vol))
+
+
+def test_predictor_ensemble_static_int8_and_export(rng):
+    """Static activation scales compose with ensemble stacking (scalars
+    stack to [K] and vmap over members) and with jax.export round trips."""
+    from edrl_tpu.serve import Predictor
+    from edrl_tpu.serve.export import roundtrip_check
+    from edrl_tpu.train.trainer import init_state
+
+    cfg = tiny_test_config(batch_size=4)
+    fundus, oct_vol = _eval_batch(cfg, rng, 4)
+    states = [init_state(cfg, seed)[1] for seed in (0, 1)]
+
+    pk = Predictor(
+        cfg,
+        states,
+        quantize_int8=True,
+        min_dim=32,
+        int8_calibration=(fundus, oct_vol),
+    )
+    probs = pk.predict_probs(fundus, oct_vol)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+    p1 = Predictor(
+        cfg,
+        states[0],
+        quantize_int8=True,
+        min_dim=32,
+        int8_calibration=(fundus, oct_vol),
+    )
+    same, delta = roundtrip_check(
+        p1, jnp.asarray(fundus), jnp.asarray(oct_vol)
+    )
+    assert same and delta == 0.0, delta
+
+
+def test_predict_cli_int8_static(tmp_path, monkeypatch):
+    """The predict CLI end-to-end on the tiny config: --int8 with
+    --int8_calibrate N wires the first N input pairs into the predictor's
+    static calibration and still writes one CSV row per pair."""
+    from edrl_tpu.cli import predict as predict_cli
+
+    def tiny_from_args(args):
+        return tiny_test_config(batch_size=4)
+
+    monkeypatch.setattr(predict_cli, "config_from_args", tiny_from_args)
+    out = str(tmp_path / "probs.csv")
+    predict_cli.main(
+        [
+            "--num", "6",
+            "--int8",
+            "--int8_calibrate", "4",
+            "--output", out,
+        ]
+    )
+    probs = np.loadtxt(out, delimiter=",")
+    assert probs.shape[0] == 6
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
