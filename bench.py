@@ -16,11 +16,14 @@ from __future__ import annotations
 
 import functools
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from edrl_tpu.utils import tpu_lock
 
 # Persistent compilation cache: repeat bench runs skip the multi-minute
 # XLA compile of the full train step.
@@ -31,6 +34,90 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # History: 60.3 (first working step, Swin-B heads, remat) -> 71.7 (no remat)
 # -> 120.6 (head_dim-128 window attention).
 BASELINE_PAIRS_PER_SEC = 60.3
+
+# TPU v5e per-chip bf16 peak (public spec: 394 TOPS int8 / 197 TFLOP/s bf16);
+# used for the absolute-utilization (MFU) field.  The 2026-08-17 trace put
+# the step's dense matmuls at 144.8 TFLOP/s = 73% of this peak (BASELINE.md).
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def count_train_step_flops(batch_size: int) -> float:
+    """Analytic model FLOPs for ONE optimizer step, via XLA cost analysis.
+
+    The measured program runs attention inside Pallas custom calls, which
+    XLA's HLO cost analysis counts as zero FLOPs — so the count is taken on
+    the mathematically identical UNFUSED path (plain-HLO attention dots,
+    no remat recompute).  Everything is abstract: the state comes from
+    ``jax.eval_shape`` over ``init_state`` and the step is only ``.lower()``-ed
+    (host-side) — no device compute, no compile.  Runs on the CPU backend
+    (``main`` shells out with JAX_PLATFORMS=cpu) because the TPU PJRT plugin
+    over the tunnel does not implement client-side HLO cost analysis.
+    """
+    from edrl_tpu.config import DataConfig, EDRLConfig, ModelConfig, TrainConfig
+    from edrl_tpu.train.trainer import (
+        init_state,
+        make_model,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = EDRLConfig(
+        data=DataConfig(batch_size=batch_size),
+        model=ModelConfig(
+            use_bfloat16=True,
+            remat=False,
+            remat_attention=False,
+            use_fused_attention=False,
+            vit_fused_attention=False,
+            use_fused_block_attention=False,
+            use_fused_mlp=False,
+            use_fused_ln=False,
+        ),
+        train=TrainConfig(),
+    )
+    state = jax.eval_shape(lambda: init_state(cfg, 0)[1])
+    train_step = make_train_step(make_model(cfg), make_optimizer(cfg), cfg, jit=False)
+    d = cfg.data
+    batch = {
+        "fundus_low": jax.ShapeDtypeStruct((batch_size, d.fundus_size, d.fundus_size, 3), jnp.float32),
+        "fundus_high": jax.ShapeDtypeStruct((batch_size, d.fundus_size, d.fundus_size, 3), jnp.float32),
+        "oct_low": jax.ShapeDtypeStruct((batch_size, *d.oct_size, 1), jnp.float32),
+        "oct_high": jax.ShapeDtypeStruct((batch_size, *d.oct_size, 1), jnp.float32),
+        "label": jax.ShapeDtypeStruct((batch_size,), jnp.int32),
+    }
+    key = jax.random.key(0)  # concrete scalar key; creating it is free
+
+    def one_step(state, batch, key):
+        new_state, out = train_step(state, batch, key)
+        return new_state, out["loss"]
+
+    cost = jax.jit(one_step).lower(state, batch, key).cost_analysis()
+    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+        cost = cost[0]
+    return float(cost.get("flops", 0.0))
+
+
+def count_train_step_flops_subprocess(batch_size: int) -> float:
+    """Run the FLOP count in a fresh JAX_PLATFORMS=cpu process (cost
+    analysis is a CPU-client feature; the bench process itself is bound to
+    the TPU plugin).  Best-effort: returns 0.0 on any failure."""
+    import os
+    import subprocess
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--count_flops", str(batch_size)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1200,
+            check=True,
+        )
+        return float(out.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        print(f"[bench] flop count unavailable: {e!r}", file=sys.stderr)
+        return 0.0
 
 
 def make_batch(batch_size: int, data_cfg, rng):
@@ -153,20 +240,41 @@ def bench_infer_step(batch_size: int = 16, steps: int = 20, **model_kwargs):
 def main():
     # Flagship only; to bench any registry model (apples-to-apples baseline
     # comparisons, same methodology) use scripts/bench_model.py.
-    pairs_per_sec = bench_train_step()
-    infer_pairs_per_sec = bench_infer_step()
-    print(
-        json.dumps(
-            {
-                "metric": "EDRL fundus+OCT train pairs/sec/chip (dual-view step, 384^2+96^3, bf16)",
-                "value": round(pairs_per_sec, 3),
-                "unit": "pairs/sec/chip",
-                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
-                "infer_pairs_per_sec_chip": round(infer_pairs_per_sec, 3),
-            }
-        )
-    )
+    #
+    # The measurement refuses to race other in-repo TPU jobs: study queues /
+    # training CLIs hold the advisory TPU lock, and we wait (up to 30 min)
+    # for the chip to go idle before timing — a contended capture
+    # under-reports the framework by ~30% (round-3 post-mortem, VERDICT r3).
+    idle = tpu_lock.wait_until_free(timeout_s=1800.0)
+    with tpu_lock.hold("bench.py"):
+        batch_size, steps = 16, 20
+        pairs_per_sec = bench_train_step(batch_size=batch_size, steps=steps)
+        infer_pairs_per_sec = bench_infer_step(batch_size=batch_size, steps=steps)
+    flops_per_step = count_train_step_flops_subprocess(batch_size)
+    mfu = (pairs_per_sec / batch_size) * flops_per_step / V5E_BF16_PEAK_FLOPS
+    record = {
+        "metric": "EDRL fundus+OCT train pairs/sec/chip (dual-view step, 384^2+96^3, bf16)",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+        "infer_pairs_per_sec_chip": round(infer_pairs_per_sec, 3),
+        # Absolute utilization: analytic model FLOPs (XLA cost analysis of
+        # the unfused-HLO step — identical math to the measured program,
+        # whose Pallas custom calls the analyzer can't see) vs the v5e
+        # per-chip bf16 peak (197 TFLOP/s).
+        "model_tflops_per_step": round(flops_per_step / 1e12, 3),
+        "mfu_pct": round(100.0 * mfu, 2),
+    }
+    if not idle:
+        record["contended"] = True  # another TPU job never released the lock
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--count_flops":
+        # Subprocess mode (JAX_PLATFORMS=cpu set by the parent): print the
+        # per-step FLOP count and nothing else on stdout.
+        jax.config.update("jax_platforms", "cpu")  # the TPU plugin otherwise wins
+        print(count_train_step_flops(int(sys.argv[2])))
+    else:
+        main()

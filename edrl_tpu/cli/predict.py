@@ -52,6 +52,10 @@ def main(argv=None):
         fundus = (rng.uniform(size=(args.num, d.fundus_size, d.fundus_size, 3)) * 255).astype(np.uint8)
         oct_vol = (rng.uniform(size=(args.num, *d.oct_size, 1)) * 255).astype(np.uint8)
 
+    if args.int8_calibrate > 0 and not args.int8:
+        # Mirror the programmatic API: Predictor raises ValueError for this
+        # combination; silently ignoring it here hid a likely user mistake.
+        parser.error("--int8_calibrate requires --int8")
     calibration = None
     if args.int8 and args.int8_calibrate > 0:
         n = min(args.int8_calibrate, len(fundus))

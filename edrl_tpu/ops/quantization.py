@@ -125,7 +125,12 @@ def _dynamic_quantize_rows(x: jax.Array):
 
 
 def calibrate_activation_scales(
-    model: nn.Module, variables, scales, *calib_args, **calib_kwargs
+    model: nn.Module,
+    variables,
+    scales,
+    *calib_args,
+    percentile: float = 100.0,
+    **calib_kwargs,
 ) -> Dict[str, jax.Array]:
     """Static per-tensor activation scales from a calibration batch.
 
@@ -143,6 +148,15 @@ def calibrate_activation_scales(
     batch that covers the serving distribution and measure the accuracy
     delta (``tests/test_quantization.py`` does, and ``scripts/bench_int8.py
     --static`` measures both axes on the flagship).
+
+    ``percentile < 100`` clips the calibrator to that percentile of |x|
+    instead of the raw abs-max (e.g. 99.9): a single activation outlier —
+    common in transformer LN/GELU tails — otherwise inflates the scale and
+    crushes int8 resolution for the rest of the tensor.  Values beyond the
+    percentile saturate at ±127 (standard static-PTQ clipping).  When a
+    Dense path is applied more than once in the forward (shared modules),
+    per-call percentiles are combined with max — a slight overestimate of
+    the joint percentile, never an underestimate of coverage.
     """
     target = {k for k in scales if not k.endswith(ACT_SUFFIX)}
 
@@ -154,7 +168,11 @@ def calibrate_activation_scales(
             if isinstance(mod, nn.Dense) and context.method_name == "__call__":
                 key = _path_key(tuple(mod.path))
                 if key in target:
-                    a = jnp.max(jnp.abs(f_args[0].astype(jnp.float32)))
+                    absx = jnp.abs(f_args[0].astype(jnp.float32))
+                    if percentile >= 100.0:
+                        a = jnp.max(absx)
+                    else:
+                        a = jnp.percentile(absx.reshape(-1), percentile)
                     prev = amax.get(key, jnp.zeros((), jnp.float32))
                     amax[key] = jnp.maximum(prev, a)
             return next_fun(*f_args, **f_kwargs)

@@ -122,9 +122,19 @@ class Predictor:
                 )
                 from edrl_tpu.train.trainer import _dequantize
 
-                cf = _dequantize(jnp.asarray(int8_calibration[0]))
-                co = _dequantize(jnp.asarray(int8_calibration[1]))
-                cy = jnp.zeros((cf.shape[0],), jnp.int32)
+                # Pin the calibration batch to eval_batch_size by tiling /
+                # truncating: the calibration forward is jitted, so every
+                # DISTINCT sample count would otherwise pay a fresh
+                # multi-minute remote compile on the tunneled TPU (CLAUDE.md
+                # compile-cost gotcha) — repeating samples does not change
+                # the recorded activation range.
+                n = d.eval_batch_size
+                cal_f = np.asarray(int8_calibration[0])
+                cal_o = np.asarray(int8_calibration[1])
+                idx = np.arange(n) % len(cal_f)
+                cf = _dequantize(jnp.asarray(cal_f[idx]))
+                co = _dequantize(jnp.asarray(cal_o[idx]))
+                cy = jnp.zeros((n,), jnp.int32)
                 member_scales = [
                     calibrate_activation_scales(
                         self.model, v, s, cf, co, cy, train=False

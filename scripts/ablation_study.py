@@ -498,6 +498,18 @@ def main(argv=None):
 
     proto = protocol_of(args)
 
+    # Advisory TPU lock: hold the chip for the study's lifetime so a
+    # concurrently-launched bench.py waits instead of timing a contended
+    # chip (the round-3 official bench was poisoned exactly this way).
+    if jax.default_backend() != "cpu":
+        import atexit
+
+        from edrl_tpu.utils import tpu_lock
+
+        tpu_lock.wait_until_free(timeout_s=6 * 3600.0)
+        tpu_lock.try_acquire(f"ablation_study --protocol {args.protocol}")
+        atexit.register(tpu_lock.release)
+
     cfg = base_config(args)
     # Incremental persistence: each (variant, seed) full record (sweep
     # included) lands in a .jsonl next to the output as soon as it finishes,

@@ -36,8 +36,13 @@ def main():
     ap.add_argument("--min_dim", type=int, default=128)
     ap.add_argument(
         "--static", action="store_true",
-        help="also measure static-activation-scale int8 (calibrated on the "
-        "bench batch) — removes the dynamic per-row abs-max reduce",
+        help="also measure static-activation-scale int8 (calibrated on a "
+        "held-out batch) — removes the dynamic per-row abs-max reduce",
+    )
+    ap.add_argument(
+        "--calib_percentile", type=float, default=100.0,
+        help="activation-scale calibrator percentile (100 = abs-max; e.g. "
+        "99.9 clips outliers, values beyond saturate)",
     )
     args = ap.parse_args()
 
@@ -106,8 +111,17 @@ def main():
     if args.static:
         from edrl_tpu.ops.quantization import calibrate_activation_scales
 
+        # Calibrate on a DIFFERENT rng draw than the eval batch so the
+        # reported static numerics are out-of-sample (saturation on values
+        # outside the calibrated range is actually exercised).
+        crng = np.random.default_rng(1)
+        calib_fundus = jnp.asarray(
+            crng.uniform(size=fundus.shape).astype(np.float32)
+        )
+        calib_oct = jnp.asarray(crng.uniform(size=oct_vol.shape).astype(np.float32))
         static_scales = calibrate_activation_scales(
-            model, variables, scales, fundus, oct_vol, y, train=False
+            model, variables, scales, calib_fundus, calib_oct, y,
+            percentile=args.calib_percentile, train=False,
         )
         modes.append(("int8_static", qvariables, static_scales))
 
@@ -159,4 +173,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from edrl_tpu.utils import tpu_lock
+
+    tpu_lock.wait_until_free(timeout_s=6 * 3600.0)
+    with tpu_lock.hold("bench_int8.py"):
+        main()

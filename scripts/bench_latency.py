@@ -93,4 +93,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from edrl_tpu.utils import tpu_lock
+
+    tpu_lock.wait_until_free(timeout_s=6 * 3600.0)
+    with tpu_lock.hold("bench_latency.py"):
+        main()

@@ -37,7 +37,7 @@ run() {
   [ "$output" != "-" ] && extra=(--output "$output")
   timeout "$RUN_TIMEOUT" python scripts/ablation_study.py \
     --protocol fusion --epochs "$epochs" --seeds "$seed" \
-    --variants "$variant" "${extra[@]}" || exit 1
+    --variants "$variant" ${extra[@]+"${extra[@]}"} || exit 1
 }
 LONG=ABLATION_FUSION_LONG.md
 # 1. hypothesis test (~25 min + ~12 min, warm cache)

@@ -26,7 +26,7 @@ run() {
   [ "$output" != "-" ] && extra=(--output "$output")
   timeout "$RUN_TIMEOUT" python scripts/ablation_study.py \
     --protocol fusion --epochs "$epochs" --seeds "$seed" \
-    --variants "$variant" "${extra[@]}" || exit 1
+    --variants "$variant" ${extra[@]+"${extra[@]}"} || exit 1
 }
 LONG=ABLATION_FUSION_LONG.md
 # 1. finish n=2 for the 25-epoch table (resumes; -DILR s1 may be cached)

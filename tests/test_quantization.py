@@ -386,3 +386,73 @@ def test_predict_cli_int8_static(tmp_path, monkeypatch):
     probs = np.loadtxt(out, delimiter=",")
     assert probs.shape[0] == 6
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+
+
+def test_predict_cli_calibrate_without_int8_errors(tmp_path, monkeypatch):
+    """--int8_calibrate without --int8 is a parser error (mirrors the
+    Predictor's ValueError for the same combination — ADVICE r3)."""
+    from edrl_tpu.cli import predict as predict_cli
+
+    monkeypatch.setattr(
+        predict_cli, "config_from_args",
+        lambda args: tiny_test_config(batch_size=4),
+    )
+    with pytest.raises(SystemExit):
+        predict_cli.main(["--num", "4", "--int8_calibrate", "2"])
+
+
+def test_calibration_percentile_clips_outliers(toy):
+    """percentile < 100 ignores a single injected activation outlier: the
+    abs-max calibrator's scale follows the outlier, the 99th-percentile
+    scale stays near the bulk distribution (ADVICE r3: abs-max is a weak
+    calibrator for transformer activation tails)."""
+    from edrl_tpu.ops.quantization import (
+        ACT_SUFFIX,
+        calibrate_activation_scales,
+    )
+
+    m, v, x = toy
+    x_out = np.asarray(x).copy()
+    x_out[0, 0] = 1e4  # one pathological activation
+    x_out = jnp.asarray(x_out)
+    _, scales, _ = quantize_for_serving(m, v, x)
+
+    absmax = calibrate_activation_scales(m, v, scales, x_out)
+    clipped = calibrate_activation_scales(m, v, scales, x_out, percentile=99.0)
+    k = "big1" + ACT_SUFFIX
+    assert float(absmax[k]) > 50.0  # tracks the outlier (1e4 / 127)
+    assert float(clipped[k]) < 1.0  # tracks the bulk (|N(0,1)| percentile)
+    # Bulk resolution: the clipped scale quantizes typical values with far
+    # more int8 levels than the outlier-inflated one.
+    assert float(absmax[k]) / float(clipped[k]) > 50.0
+
+
+def test_predictor_calibration_padded_to_eval_batch_size(rng, monkeypatch):
+    """The Predictor tiles/truncates the calibration batch to
+    eval_batch_size so distinct calibration sample counts never trigger
+    fresh full-model compiles (ADVICE r3; CLAUDE.md compile-cost gotcha)."""
+    import edrl_tpu.serve.predictor as predictor_mod
+    from edrl_tpu.ops import quantization as q
+    from edrl_tpu.serve import Predictor
+    from edrl_tpu.train.trainer import init_state
+
+    cfg = tiny_test_config(batch_size=4)
+    _, state = init_state(cfg, 0)
+    fundus, oct_vol = _eval_batch(cfg, rng, 2)  # fewer than eval_batch_size=4
+
+    seen = {}
+    real = q.calibrate_activation_scales
+
+    def spy(model, v, s, cf, co, cy, **kw):
+        seen["shape"] = (cf.shape[0], co.shape[0], cy.shape[0])
+        return real(model, v, s, cf, co, cy, **kw)
+
+    monkeypatch.setattr(q, "calibrate_activation_scales", spy)
+    p = Predictor(
+        cfg, state, quantize_int8=True, min_dim=32,
+        int8_calibration=(fundus, oct_vol),
+    )
+    n = cfg.data.eval_batch_size
+    assert seen["shape"] == (n, n, n)
+    probs = p.predict_probs(fundus, oct_vol)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)

@@ -1,0 +1,81 @@
+"""Advisory TPU lock (edrl_tpu/utils/tpu_lock.py).
+
+The lock exists so measurement scripts (bench.py) never time a chip that a
+study queue is holding — the round-3 official bench was contaminated by
+exactly that race (VERDICT r3 weak #1).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+from edrl_tpu.utils import tpu_lock
+
+
+def test_acquire_release_roundtrip(tmp_path):
+    path = str(tmp_path / "lock")
+    assert tpu_lock.try_acquire("t1", path)
+    rec = tpu_lock.holder(path)
+    assert rec["pid"] == os.getpid() and rec["tag"] == "t1"
+    # Second acquire from the same (live) holder fails — the lock is held.
+    assert not tpu_lock.try_acquire("t2", path)
+    tpu_lock.release(path)
+    assert tpu_lock.holder(path) is None
+    assert tpu_lock.try_acquire("t3", path)
+    tpu_lock.release(path)
+
+
+def test_stale_lock_reclaimed(tmp_path):
+    path = str(tmp_path / "lock")
+    # A dead PID: spawn a process that exits immediately, use its PID.
+    proc = subprocess.run([sys.executable, "-c", "import os;print(os.getpid())"],
+                          capture_output=True, text=True)
+    dead_pid = int(proc.stdout.strip())
+    with open(path, "w") as f:
+        json.dump({"pid": dead_pid, "tag": "dead-study", "time": 0}, f)
+    assert tpu_lock.holder(path) is None  # stale detected + cleared
+    assert not os.path.exists(path)
+    assert tpu_lock.try_acquire("fresh", path)
+    tpu_lock.release(path)
+
+
+def test_corrupt_lock_reclaimed(tmp_path):
+    path = str(tmp_path / "lock")
+    with open(path, "w") as f:
+        f.write("not json{")
+    assert tpu_lock.holder(path) is None
+    assert tpu_lock.try_acquire("fresh", path)
+    tpu_lock.release(path)
+
+
+def test_release_is_holder_scoped(tmp_path):
+    path = str(tmp_path / "lock")
+    with open(path, "w") as f:
+        json.dump({"pid": os.getpid() , "tag": "mine", "time": 0}, f)
+    # Write a different live holder: use PID 1 (init, always alive).
+    with open(path, "w") as f:
+        json.dump({"pid": 1, "tag": "other", "time": 0}, f)
+    tpu_lock.release(path)  # must NOT remove someone else's lock
+    assert os.path.exists(path)
+    os.unlink(path)
+
+
+def test_wait_until_free_times_out_then_frees(tmp_path):
+    path = str(tmp_path / "lock")
+    with open(path, "w") as f:
+        json.dump({"pid": 1, "tag": "other", "time": 0}, f)
+    t0 = time.monotonic()
+    assert not tpu_lock.wait_until_free(timeout_s=0.2, poll_s=0.05, path=path)
+    assert time.monotonic() - t0 < 5.0
+    os.unlink(path)
+    assert tpu_lock.wait_until_free(timeout_s=0.2, poll_s=0.05, path=path)
+
+
+def test_hold_context_manager(tmp_path):
+    path = str(tmp_path / "lock")
+    with tpu_lock.hold("ctx", path=path) as got:
+        assert got
+        assert tpu_lock.holder(path)["tag"] == "ctx"
+    assert tpu_lock.holder(path) is None
