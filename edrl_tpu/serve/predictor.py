@@ -53,7 +53,11 @@ class Predictor:
         static per-tensor activation scales from one fp forward per member
         (``ops.quantization.calibrate_activation_scales``), replacing the
         dynamic per-row abs-max reduce at serve time.  Coarser quantization
-        — measure the accuracy delta on your eval set.
+        — measure the accuracy delta on your eval set.  The batch is tiled/
+        truncated to ``eval_batch_size`` so calibration reuses one compiled
+        shape regardless of how many samples are passed.
+    int8_calib_percentile: calibrator percentile over |activations|
+        (100 = abs-max; e.g. 99.9 clips outliers, values beyond saturate).
     chunk_batches: batches per dispatch (1 = plain per-batch jit).
     """
 
@@ -64,6 +68,7 @@ class Predictor:
         *,
         quantize_int8: bool = False,
         int8_calibration=None,
+        int8_calib_percentile: float = 100.0,
         min_dim: int = 128,
         chunk_batches: int = 1,
         mesh=None,
@@ -137,7 +142,8 @@ class Predictor:
                 cy = jnp.zeros((n,), jnp.int32)
                 member_scales = [
                     calibrate_activation_scales(
-                        self.model, v, s, cf, co, cy, train=False
+                        self.model, v, s, cf, co, cy,
+                        percentile=int8_calib_percentile, train=False,
                     )
                     for v, s in zip(member_vars, member_scales)
                 ]

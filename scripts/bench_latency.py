@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 4, 16])
     ap.add_argument("--requests", type=int, default=30)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument(
+        "--static", action="store_true",
+        help="with --int8: static activation scales (calibrated on a "
+        "held-out random batch) instead of dynamic per-row quantize",
+    )
     ap.add_argument("--tiny", action="store_true", help="tiny model (smoke)")
     args = ap.parse_args()
 
@@ -60,8 +65,17 @@ def main():
                 train=TrainConfig(),
             )
         _, state = init_state(cfg, 0)
-        pred = Predictor(cfg, state, quantize_int8=args.int8)
         d = cfg.data
+        kwargs = {}
+        if args.int8 and args.static:
+            crng = np.random.default_rng(1)  # held-out calibration draw
+            kwargs["int8_calibration"] = (
+                crng.uniform(size=(b, d.fundus_size, d.fundus_size, 3)).astype(
+                    np.float32
+                ),
+                crng.uniform(size=(b, *d.oct_size, 1)).astype(np.float32),
+            )
+        pred = Predictor(cfg, state, quantize_int8=args.int8, **kwargs)
         fundus = rng.uniform(size=(b, d.fundus_size, d.fundus_size, 3)).astype(
             np.float32
         )
@@ -87,6 +101,7 @@ def main():
                 "pairs_per_sec_at_p50": tput,
                 "requests": args.requests,
                 "int8": bool(args.int8),
+                "static": bool(args.int8 and args.static),
             }
         )
     )

@@ -30,6 +30,15 @@ def main(argv=None):
     parser = build_parser()
     parser.add_argument("--checkpoint", required=True)
     parser.add_argument("--min_dim", type=int, default=128)
+    parser.add_argument(
+        "--static_calibrate", type=int, default=0,
+        help="also evaluate static-activation-scale int8 calibrated on the "
+        "first N val pairs (0 = dynamic-only)",
+    )
+    parser.add_argument(
+        "--calib_percentile", type=float, default=100.0,
+        help="static calibrator percentile (100 = abs-max)",
+    )
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
 
@@ -66,12 +75,27 @@ def main(argv=None):
     oct_vol = np.concatenate(oct_list)
     targets = np.concatenate(labels)
 
-    rows = {}
-    probs = {}
-    for tag, kwargs in (
+    modes = [
         ("bf16", {}),
         ("int8", {"quantize_int8": True, "min_dim": args.min_dim}),
-    ):
+    ]
+    if args.static_calibrate > 0:
+        n = min(args.static_calibrate, len(fundus))
+        modes.append(
+            (
+                "int8_static",
+                {
+                    "quantize_int8": True,
+                    "min_dim": args.min_dim,
+                    "int8_calibration": (fundus[:n], oct_vol[:n]),
+                    "int8_calib_percentile": args.calib_percentile,
+                },
+            )
+        )
+
+    rows = {}
+    probs = {}
+    for tag, kwargs in modes:
         p = Predictor.from_checkpoint(cfg, directory or ".", name=name or None, **kwargs)
         probs[tag] = p.predict_probs(fundus, oct_vol)
         m = compute_epoch_metrics(targets, probs[tag], 0.0)
@@ -80,24 +104,21 @@ def main(argv=None):
             "auc": round(m.auc, 4),
             "f1": round(m.f1, 4),
         }
-        if tag == "int8":
+        if tag != "bf16":
             rows[tag]["dense_quantized"] = p.quant_report["dense_modules_quantized"]
 
-    delta = np.abs(probs["bf16"] - probs["int8"])
-    print(
-        json.dumps(
-            {
-                "n": int(len(targets)),
-                "bf16": rows["bf16"],
-                "int8": rows["int8"],
-                "top1_agreement": float(
-                    (probs["bf16"].argmax(-1) == probs["int8"].argmax(-1)).mean()
-                ),
-                "mean_abs_prob_delta": round(float(delta.mean()), 5),
-                "max_abs_prob_delta": round(float(delta.max()), 5),
-            }
+    out = {"n": int(len(targets))}
+    out.update(rows)
+    for tag in rows:
+        if tag == "bf16":
+            continue
+        delta = np.abs(probs["bf16"] - probs[tag])
+        out[f"{tag}_top1_agreement"] = float(
+            (probs["bf16"].argmax(-1) == probs[tag].argmax(-1)).mean()
         )
-    )
+        out[f"{tag}_mean_abs_prob_delta"] = round(float(delta.mean()), 5)
+        out[f"{tag}_max_abs_prob_delta"] = round(float(delta.max()), 5)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
