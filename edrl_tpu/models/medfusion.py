@@ -135,18 +135,31 @@ class MedFusion(nn.Module):
         else:
             u_key = jax.random.key(1)  # deterministic eval (ledger #11)
         ku1, ku2 = jax.random.split(u_key)
-        guided_f = (mu_f + jax.random.uniform(ku1, mu_f.shape) * sig_f).reshape(
-            b, c * z_dim
+        # Under a mesh, batch_constraint anchors each flattened [B, C*z]
+        # tensor (and, with_sharding_constraint being linear, its backward
+        # cotangent) to batch sharding: the cotangents otherwise arrive
+        # TP-sharded from the downstream Dense backward dots and GSPMD pays
+        # an involuntary replicate+repartition at the un-flatten reshape in
+        # the MedFusion backward every step (VERDICT r3 weak #4;
+        # parallel.mesh.batch_constraint docstring; no-op single-device).
+        from edrl_tpu.parallel.mesh import batch_constraint
+
+        guided_f = batch_constraint(
+            (mu_f + jax.random.uniform(ku1, mu_f.shape) * sig_f).reshape(
+                b, c * z_dim
+            )
         )
-        guided_o = (mu_o + jax.random.uniform(ku2, mu_o.shape) * sig_o).reshape(
-            b, c * z_dim
+        guided_o = batch_constraint(
+            (mu_o + jax.random.uniform(ku2, mu_o.shape) * sig_o).reshape(
+                b, c * z_dim
+            )
         )
 
         # --- PoE + global fusion vector (``fusion_net.py:912-916``) ---
         poe = PoE(modality_num=2, name="poe")(
             [mu_f, mu_o], [sig_f, sig_o], modality_mask=modality_mask
         )  # [B, C, z]
-        g = nn.relu(poe.reshape(b, c * z_dim))
+        g = nn.relu(batch_constraint(poe.reshape(b, c * z_dim)))
         g = nn.Dense(cfg.fundus_embed_dim, dtype=jnp.float32, name="fc_fundus")(g)
         global_fusion = nn.relu(g)  # [B, 1024]
 

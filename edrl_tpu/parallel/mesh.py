@@ -39,6 +39,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def batch_constraint(x: jax.Array, axis: str = "data") -> jax.Array:
+    """Anchor a [B, ...]-shaped intermediate (and, because
+    ``with_sharding_constraint`` is linear, its backward cotangent) to
+    batch-over-'data' sharding.
+
+    No-op unless an abstract mesh with the axis is in context (the jitted
+    train step enters ``jax.set_mesh`` at trace time when it runs under a
+    mesh — ``make_train_step``/``make_epoch_runner``), so model code can
+    call this unconditionally and single-device paths are untouched.
+
+    Why it exists: GSPMD propagates shardings through reshapes by local
+    pattern-matching; the EPRL proxy-loss backward reduces [B, S] tensors
+    to scalars, and the cotangents broadcast back from those scalars carry
+    no usable sharding — the partitioner then invents a model-axis tiling
+    and pays an "Involuntary full rematerialization" (replicate +
+    repartition) at the [B, 1, S] reshape in the MedFusion backward on
+    EVERY step (VERDICT r3 weak #4, MULTICHIP_r03).  Re-anchoring the
+    primal pins the cotangent's sharding and the resharding disappears.
+    """
+    am = jax.sharding.get_abstract_mesh()
+    if am is None or am.empty or axis not in am.axis_names:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, P(axis, *([None] * (x.ndim - 1)))
+    )
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis sharded over 'data'."""
     return NamedSharding(mesh, P("data"))

@@ -312,7 +312,28 @@ def make_train_step(
             )
         return new_state, out
 
-    return jax.jit(step_fn, donate_argnums=(0,)) if jit else step_fn
+    if not jit:
+        return step_fn
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+    if state_shardings is None:
+        return jitted
+    return _with_mesh_context(jitted, state_shardings)
+
+
+def _with_mesh_context(jitted_fn, state_shardings):
+    """Call ``jitted_fn`` under ``jax.set_mesh`` so model-internal
+    ``parallel.mesh.batch_constraint`` calls (bare-PartitionSpec sharding
+    constraints) resolve against the step's mesh at trace time.  The
+    context only matters for the first (tracing) call; it is a few-ns
+    no-op on cached dispatches."""
+    mesh = jax.tree_util.tree_leaves(state_shardings)[0].mesh
+
+    @functools.wraps(jitted_fn)
+    def call(*args, **kwargs):
+        with jax.set_mesh(mesh):
+            return jitted_fn(*args, **kwargs)
+
+    return call
 
 
 def eval_low_view(batch, noise_cfg):
@@ -397,6 +418,8 @@ def make_epoch_runner(
         state, (losses, probs) = jax.lax.scan(body, state, stacked)
         return state, losses, probs
 
+    if state_shardings is not None:
+        return _with_mesh_context(run_chunk, state_shardings)
     return run_chunk
 
 
