@@ -94,6 +94,7 @@ class TestVisualize:
 
 
 class TestEnsembleRunner:
+    @pytest.mark.slow
     def test_metric_txt_written(self, tmp_path):
         from edrl_tpu.config import tiny_test_config
         from edrl_tpu.data import BatchLoader, SyntheticGammaDataset

@@ -58,6 +58,7 @@ class TestRegistry:
         "name",
         [n for n in MODEL_REGISTRY if n not in _SKIP_FULL_SIZE],
     )
+    @pytest.mark.slow
     def test_cnn_baselines_forward(self, name, tiny_batch):
         cfg = _tiny_cfg()
         model, _ = build_baseline(name, cfg)

@@ -84,6 +84,7 @@ class TestPipelineIntegration:
         b = next(iter(loader.epoch(0)))
         assert b["oct"].ndim == 5 and b["oct"].shape[-1] == 1
 
+    @pytest.mark.slow
     def test_fit_runs_with_device_noise(self):
         from edrl_tpu.train.trainer import fit
 
@@ -122,6 +123,7 @@ class TestUint8Transport:
         f = jnp.asarray(np.array([0.5], np.float32))
         np.testing.assert_array_equal(np.asarray(_dequantize(f)), np.asarray(f))
 
+    @pytest.mark.slow
     def test_train_step_accepts_uint8_batch(self):
         import jax as _jax
 

@@ -17,6 +17,7 @@ from edrl_tpu.config import tiny_test_config
 
 
 class TestEnsembleWorkflow:
+    @pytest.mark.slow
     def test_run_ensemble_end_to_end(self, tmp_path):
         from edrl_tpu.cli.ensemble import run_ensemble
 
@@ -59,6 +60,7 @@ class TestOneProgramEnsemble:
 
         return [init_state(cfg, seed)[1] for seed in range(k)]
 
+    @pytest.mark.slow
     def test_vmapped_matches_per_member_loop(self):
         import jax
         import numpy as np
@@ -128,6 +130,7 @@ class TestOneProgramEnsemble:
 
 
 class TestFourClassTraining:
+    @pytest.mark.slow
     def test_medfusion_trains_4_classes(self):
         from edrl_tpu.data import BatchLoader, SyntheticGammaDataset
         from edrl_tpu.train.metrics import auc_ovr

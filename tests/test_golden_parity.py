@@ -239,6 +239,7 @@ class TestLossCompositionWeights:
     """The as-executed loss weights (``fusion_net.py:870-879``, ledger #3):
     train w_proxy=0.3, eval w_proxy=0.8, KL weight 0.01, DILR weight 0.001."""
 
+    @pytest.mark.slow
     def test_weights_reconstruct_total(self):
         from edrl_tpu.config import tiny_test_config
         from edrl_tpu.models import MedFusion

@@ -74,6 +74,7 @@ class TestHardDataset:
 
 
 class TestMmdWeightAblation:
+    @pytest.mark.slow
     def test_zero_weight_trains_and_reports_zero_mmd(self, cfg):
         import jax
 
@@ -105,6 +106,7 @@ class TestMmdWeightAblation:
         p1 = np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
         assert not np.allclose(p0, p1)
 
+    @pytest.mark.slow
     def test_js_distillation_survives_zero_mmd_weight(self, cfg):
         """-MMD +JSD must still run the second forward: the skip-the-
         high-view optimization is only valid when BOTH dual-view terms are
@@ -156,11 +158,12 @@ class TestMmdWeightAblation:
         spec.loader.exec_module(mod)
         VARIANTS, base_config, variant = mod.VARIANTS, mod.base_config, mod.variant
 
-        class A:  # minimal args shim
+        class A:  # minimal args shim (mirror every field base_config reads)
             batch_size = 4
             train_samples = 16
             epochs = 1
             lr = 1e-4
+            warmup_steps = 0
             fundus_size = 64
             oct_size = 32
             scan_batches = 0

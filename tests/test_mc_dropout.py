@@ -53,6 +53,7 @@ class TestSupportsMc:
 
 
 class TestMcPredict:
+    @pytest.mark.slow
     def test_scan_equals_manual_passes(self, dropout_model_state):
         """The K-pass scan must equal K individual stochastic forwards
         averaged by hand (same dropout keys)."""
@@ -86,6 +87,7 @@ class TestMcPredict:
         _, std = predict(state, fundus, oct_vol, y, jax.random.key(0))
         assert float(np.asarray(std).max()) > 0.0
 
+    @pytest.mark.slow
     def test_estimator_variance_shrinks_with_k(self, dropout_model_state):
         """The MC estimate of the predictive mean concentrates as K grows:
         dispersion across independent K=64 estimates << across K=1 passes."""
@@ -108,6 +110,7 @@ class TestMcPredict:
 
 
 class TestMcOverLoader:
+    @pytest.mark.slow
     def test_shapes_and_normalization(self):
         from edrl_tpu.config import tiny_test_config
         from edrl_tpu.data import BatchLoader, SyntheticGammaDataset

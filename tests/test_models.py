@@ -284,6 +284,7 @@ class TestMedFusion:
             )
             assert np.all(np.isfinite(np.asarray(logits))), mask
 
+    @pytest.mark.slow
     def test_grads_flow_to_all_params(self, setup):
         model, variables, fundus, oct_vol, y = setup
 

@@ -56,6 +56,7 @@ class TestGlobalBatchLosses:
 
 
 class TestShardedTrainStep:
+    @pytest.mark.slow
     def test_step_runs_and_matches_unsharded(self, mesh):
         cfg = tiny_test_config(batch_size=8)
         model, state = init_state(cfg, 0)
@@ -116,6 +117,7 @@ class TestParamShardings:
         ]
         assert any("Mlp" in p for p in sharded_paths), sharded_paths
 
+    @pytest.mark.slow
     def test_params_placeable_under_tp(self):
         """Params device_put with TP shardings still run a forward."""
         mesh2 = make_mesh(num_data=4, num_model=2)
@@ -136,6 +138,7 @@ class TestParamShardings:
 
 
 class TestTensorParallelTrainStep:
+    @pytest.mark.slow
     def test_tp_sharded_step_matches_replicated(self):
         """A full train step with TP-sharded params (model=2) must produce
         the same loss and updated params as the replicated run."""
@@ -216,6 +219,7 @@ class TestZero1:
         ]
         assert all("data" not in tuple(spec) for spec in p_specs)
 
+    @pytest.mark.slow
     def test_zero1_step_matches_replicated_and_keeps_shards(self, mesh):
         from edrl_tpu.parallel import train_state_shardings
 
@@ -275,6 +279,7 @@ class TestZero1WithWarmup:
     structure-generic ZeRO-1 mapping must still shard the adam moments,
     replicate the schedule's count, and run a sharded step."""
 
+    @pytest.mark.slow
     def test_warmup_state_shards_and_steps(self, mesh):
         import dataclasses
 
@@ -324,6 +329,7 @@ class TestScannedMeshEpoch:
             })
         return out
 
+    @pytest.mark.slow
     def test_scanned_sharded_matches_per_batch_sharded(self, mesh):
         import dataclasses
 
@@ -406,6 +412,7 @@ class TestScannedMeshEpoch:
         # No mesh (or 1-device) leaves the flags alone.
         assert _gate_pallas_under_mesh(cfg, None, False).model.use_fused_ln
 
+    @pytest.mark.slow
     def test_fit_runs_scanned_under_mesh(self, mesh):
         """End-to-end wiring: fit() with a mesh AND scan_batches>1 takes the
         scanned path (previously force-disabled) and trains to finite loss."""
@@ -483,6 +490,7 @@ class TestDriverContract:
     hermetically: a parent process with a 1-device CPU platform must succeed
     by re-execing an 8-device child."""
 
+    @pytest.mark.slow
     def test_dryrun_multichip_self_provisions_devices(self):
         import os
         import subprocess
@@ -528,6 +536,7 @@ class TestFullTokenDimsUnderTP:
     appear at real hidden/token dims (e.g. a head-split rule that divides
     evenly at 4 heads but not at the flagship's (1,2,4,8) layout)."""
 
+    @pytest.mark.slow
     def test_tp2_step_full_token_dims(self):
         import dataclasses
 

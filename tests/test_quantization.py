@@ -117,6 +117,7 @@ def _eval_batch(cfg, rng, n):
     )
 
 
+@pytest.mark.slow
 def test_predictor_quantized_agrees_with_f32(rng):
     from edrl_tpu.serve import Predictor
     from edrl_tpu.train.trainer import init_state
@@ -155,6 +156,7 @@ def test_predictor_chunked_matches_per_batch(rng):
     np.testing.assert_allclose(probs1, probs3, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_predictor_ensemble_matches_manual_average(rng):
     """K member states -> one vmapped program whose probs equal the manual
     softmax(mean logits) over per-member forwards (fusion_train.py:441-445
@@ -206,6 +208,7 @@ def test_predictor_accepts_uint8(rng):
     np.testing.assert_allclose(probs_f, probs_u, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_predictor_mesh_sharded_matches_single_device(rng):
     """Multi-chip serving on the 8-device CPU mesh: batch sharded P('data'),
     params under the TP rules — probs match the single-device predictor,
@@ -232,6 +235,7 @@ def test_predictor_mesh_sharded_matches_single_device(rng):
     )
 
 
+@pytest.mark.slow
 def test_export_roundtrip_f32_and_int8(rng):
     """jax.export round trip: the deserialized StableHLO program reproduces
     the live forward bit-for-bit, for both the bf16/f32 and int8 paths."""
@@ -330,6 +334,7 @@ def test_predictor_static_int8_agrees_with_f32(rng):
         Predictor(cfg, state, int8_calibration=(fundus, oct_vol))
 
 
+@pytest.mark.slow
 def test_predictor_ensemble_static_int8_and_export(rng):
     """Static activation scales compose with ensemble stacking (scalars
     stack to [K] and vmap over members) and with jax.export round trips."""

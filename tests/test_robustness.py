@@ -1,12 +1,14 @@
 """Noise-sweep robustness eval tests (BASELINE.json config 5)."""
 
 import numpy as np
+import pytest
 
 from edrl_tpu.config import tiny_test_config
 from edrl_tpu.train.robustness import format_sweep, noise_sweep
 from edrl_tpu.train.trainer import init_state
 
 
+@pytest.mark.slow
 def test_noise_sweep_grid_runs():
     cfg = tiny_test_config(batch_size=4)
     _, state = init_state(cfg, 0)
@@ -50,6 +52,7 @@ def test_noise_sweep_evaluates_every_sample():
     assert results["both"][0.0]["num_samples"] == n_val
 
 
+@pytest.mark.slow
 def test_device_noise_sweep_sigma_reaches_the_step():
     """Regression: with device_noise=True the low view is built inside the
     jitted eval step from the noise config captured at step creation; a
@@ -72,6 +75,7 @@ def test_device_noise_sweep_sigma_reaches_the_step():
     )
 
 
+@pytest.mark.slow
 def test_salt_pepper_sweep_axis():
     """The SP probe axis (``--Condition_SP_Variance``,
     ``fusion_train.py:535``): levels must reach the view construction on

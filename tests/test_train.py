@@ -50,6 +50,7 @@ def fitted(cfg, loaders):
 
 
 class TestSmokeTrain:
+    @pytest.mark.slow
     def test_losses_finite_and_decreasing_trend(self, fitted):
         state, result = fitted
         losses = [m.loss for m in result.train_history]
@@ -89,6 +90,7 @@ class TestSmokeTrain:
 
 
 class TestLongerTrainingLearns:
+    @pytest.mark.slow
     def test_loss_decreases_over_epochs(self, cfg, loaders):
         """8 epochs on the synthetic class signal must reduce train loss."""
         train_loader, val_loader = loaders
@@ -111,6 +113,7 @@ class TestCheckpoint:
         np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
         assert int(restored.step) == int(state.step)
 
+    @pytest.mark.slow
     def test_async_save_overlaps_and_survives_donation(self, cfg, tmp_path):
         """The async save must snapshot before returning: donating the live
         state's buffers right after save() (exactly what the next train step
@@ -169,6 +172,7 @@ class TestCheckpoint:
         assert fake.committed and not fake.pending
         assert mgr.best_info() == {"epoch": 1, "accuracy": 0.5}
 
+    @pytest.mark.slow
     def test_restored_state_evaluates_identically(self, cfg, fitted, loaders, tmp_path):
         state, _ = fitted
         _, val_loader = loaders
@@ -183,6 +187,7 @@ class TestCheckpoint:
 
 
 class TestResume:
+    @pytest.mark.slow
     def test_resume_is_step_identical_to_uninterrupted(self, cfg, loaders, tmp_path):
         """Crash after epoch 2 of 4, resume_from_latest, finish — the final
         params must equal the uninterrupted 4-epoch run's (epoch-indexed
@@ -222,6 +227,7 @@ class TestResume:
                 atol=1e-6, rtol=1e-6,
             )
 
+    @pytest.mark.slow
     def test_resume_respects_nondefault_start_epoch(self, cfg, loaders, tmp_path):
         """A run launched with --start_epoch 3 that completed epochs 3-4 must
         resume at epoch 5, not epoch 3 (the step counter counts steps since
@@ -286,6 +292,7 @@ class TestUncertaintySuiteOnEval:
 
 
 class TestJSDistillation:
+    @pytest.mark.slow
     def test_js_weight_changes_loss(self):
         """js_distillation_weight > 0 must alter the training loss (the
         reference's commented-out logit distillation, made configurable)."""
@@ -323,6 +330,7 @@ class TestJSDistillation:
 
 
 class TestPallasMMDInTrainStep:
+    @pytest.mark.slow
     def test_pallas_mmd_path_runs(self):
         """use_pallas_mmd routes the self-distillation loss through the fused
         kernel (interpret mode on CPU) and matches the XLA path."""
@@ -383,6 +391,7 @@ class TestPlateauSchedule:
         )
         assert get_learning_rate(state) == pytest.approx(5e-5)
 
+    @pytest.mark.slow
     def test_plateau_resumes_from_live_lr_not_lr0(self, cfg, loaders):
         """A resumed state carrying a pre-crash plateau reduction must seed
         the tracker with the REDUCED lr: restarting at lr0 would let the
@@ -528,6 +537,7 @@ class TestWarmup:
             state = set_learning_rate(state, 7e-5)
             assert get_learning_rate(state) == pytest.approx(7e-5), knobs
 
+    @pytest.mark.slow
     def test_warmup_train_step_runs(self, cfg, loaders):
         """One fit() epoch with warmup on: runs, loss finite."""
         import dataclasses
@@ -553,6 +563,7 @@ class TestObservabilityWiring:
     (``fusion_net.py:852-868`` — dead in the reference, wired here), and
     per-epoch ``epoch_{N}`` checkpoints for ``--test_epoch``."""
 
+    @pytest.mark.slow
     def test_fit_emits_plots_pdfs_and_epoch_checkpoints(self, cfg, loaders, tmp_path):
         import dataclasses
 
@@ -612,6 +623,7 @@ class TestScanBatches:
         )
         return fit(c, train_loader, val_loader, verbose=False)
 
+    @pytest.mark.slow
     def test_scanned_matches_per_batch(self, cfg):
         state_a, result_a = self._fit(cfg, scan_batches=0)
         state_b, result_b = self._fit(cfg, scan_batches=2)
@@ -626,6 +638,7 @@ class TestScanBatches:
                 atol=2e-4, rtol=2e-3,
             )
 
+    @pytest.mark.slow
     def test_remainder_batches_dispatch_singly(self, cfg):
         # scan_batches larger than the epoch: everything goes through the
         # remainder path; results must still match.
@@ -643,6 +656,7 @@ class TestScanCarryCongruence:
     while the mutable apply returned a plain {} — fine under per-step jit,
     a TypeError inside every scanned path (caught benching Trans_cross)."""
 
+    @pytest.mark.slow
     def test_stateless_model_step_is_scan_congruent(self):
         import dataclasses
 
