@@ -36,9 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda_epochs", type=int, default=50)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument(
-        "--warmup_steps", type=int, default=0,
-        help="linear LR warmup over N optimizer steps (0 = reference "
-        "behavior; see TrainConfig.warmup_steps)",
+        "--warmup_steps", type=int, default=100,
+        help="linear LR warmup over N optimizer steps (default 100 — "
+        "rescues seed-dependent init plateaus, ABLATION_FUSION_WARMUP.md; "
+        "0 = strict reference constant-lr parity)",
     )
     p.add_argument(
         "--grad_clip_norm", type=float, default=0.0,
@@ -149,7 +150,7 @@ def config_from_args(args) -> EDRLConfig:
     train = TrainConfig(
         mode=args.mode,
         lr=args.lr,
-        warmup_steps=getattr(args, "warmup_steps", 0),
+        warmup_steps=getattr(args, "warmup_steps", 100),
         grad_clip_norm=getattr(args, "grad_clip_norm", 0.0),
         start_epoch=args.start_epoch,
         end_epochs=args.end_epochs,

@@ -430,6 +430,16 @@ class TestWarmup:
     """warmup_steps: multiplicative linear LR warmup downstream of the
     injected base lr (framework extension; the reference is constant-lr)."""
 
+    def test_default_warmup_flagship_on_tiny_off(self):
+        """The flagship default is 100 warmup steps (PARITY.md deviation:
+        constant lr leaves full EDRL on its init plateau on some seeds,
+        ABLATION_FUSION_WARMUP.md); the tiny test config opts out because
+        its runs are shorter than the ramp."""
+        from edrl_tpu.config import EDRLConfig, tiny_test_config
+
+        assert EDRLConfig().train.warmup_steps == 100
+        assert tiny_test_config().train.warmup_steps == 0
+
     def test_warmup_scales_adam_updates_exactly(self):
         """scale_by_schedule sits AFTER adam in the chain, so with identical
         grads the warmed update equals the unwarmed one times
