@@ -44,6 +44,12 @@ def main():
         help="with --int8: static activation scales (calibrated on a "
         "held-out random batch) instead of dynamic per-row quantize",
     )
+    ap.add_argument(
+        "--uint8", action="store_true",
+        help="ship uint8 inputs (Predictor dequantizes on device) — 4x "
+        "less host->device transport, the dominant cost on a "
+        "remote/tunneled TPU front-end",
+    )
     ap.add_argument("--tiny", action="store_true", help="tiny model (smoke)")
     args = ap.parse_args()
 
@@ -80,6 +86,9 @@ def main():
             np.float32
         )
         oct_vol = rng.uniform(size=(b, *d.oct_size, 1)).astype(np.float32)
+        if args.uint8:
+            fundus = (fundus * 255).astype(np.uint8)
+            oct_vol = (oct_vol * 255).astype(np.uint8)
         pred.predict_probs(fundus, oct_vol)  # compile + warm
         times = []
         for _ in range(args.requests):
@@ -102,6 +111,7 @@ def main():
                 "requests": args.requests,
                 "int8": bool(args.int8),
                 "static": bool(args.int8 and args.static),
+                "uint8_transport": bool(args.uint8),
             }
         )
     )
