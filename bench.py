@@ -50,8 +50,10 @@ def count_train_step_flops(batch_size: int) -> float:
     no remat recompute).  Everything is abstract: the state comes from
     ``jax.eval_shape`` over ``init_state`` and the step is only ``.lower()``-ed
     (host-side) — no device compute, no compile.  Runs on the CPU backend
-    (``main`` shells out with JAX_PLATFORMS=cpu) because the TPU PJRT plugin
-    over the tunnel does not implement client-side HLO cost analysis.
+    (``main`` shells out with JAX_PLATFORMS=cpu), where client-side HLO
+    cost analysis is guaranteed to exist — PJRT plugins (like the tunneled
+    TPU's) aren't required to implement it, and the count is
+    backend-independent anyway.
     """
     from edrl_tpu.config import DataConfig, EDRLConfig, ModelConfig, TrainConfig
     from edrl_tpu.train.trainer import (

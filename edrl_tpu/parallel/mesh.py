@@ -50,13 +50,15 @@ def batch_constraint(x: jax.Array, axis: str = "data") -> jax.Array:
     call this unconditionally and single-device paths are untouched.
 
     Why it exists: GSPMD propagates shardings through reshapes by local
-    pattern-matching; the EPRL proxy-loss backward reduces [B, S] tensors
-    to scalars, and the cotangents broadcast back from those scalars carry
-    no usable sharding — the partitioner then invents a model-axis tiling
-    and pays an "Involuntary full rematerialization" (replicate +
-    repartition) at the [B, 1, S] reshape in the MedFusion backward on
-    EVERY step (VERDICT r3 weak #4, MULTICHIP_r03).  Re-anchoring the
-    primal pins the cotangent's sharding and the resharding disappears.
+    pattern-matching.  MedFusion flattens [B, C, z] tensors to [B, C*z]
+    before Dense layers whose kernels are TP-sharded; in the backward, the
+    cotangents of those flats arrive from the Dense backward dots carrying
+    model-axis tiling, and the partitioner cannot reshard the un-flatten
+    reshape efficiently — it pays an "Involuntary full rematerialization"
+    (replicate + repartition) on EVERY step (VERDICT r3 weak #4,
+    MULTICHIP_r03).  Re-anchoring the flat primal pins the cotangent's
+    sharding at that point and the resharding disappears (warnings 4 -> 0
+    on the 8-device CPU dryrun, trajectory unchanged).
     """
     am = jax.sharding.get_abstract_mesh()
     if am is None or am.empty or axis not in am.axis_names:

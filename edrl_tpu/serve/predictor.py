@@ -136,6 +136,8 @@ class Predictor:
                 n = d.eval_batch_size
                 cal_f = np.asarray(int8_calibration[0])
                 cal_o = np.asarray(int8_calibration[1])
+                if len(cal_f) == 0 or len(cal_o) == 0:
+                    raise ValueError("int8_calibration batch is empty")
                 idx = np.arange(n) % len(cal_f)
                 cf = _dequantize(jnp.asarray(cal_f[idx]))
                 co = _dequantize(jnp.asarray(cal_o[idx]))
