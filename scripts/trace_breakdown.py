@@ -122,8 +122,12 @@ def parse_trace(steps: int):
 
 
 if __name__ == "__main__":
+    from edrl_tpu.utils import tpu_lock
+
     kwargs = {}
     if "--fused_block" in sys.argv:
         kwargs["use_fused_block_attention"] = True
-    steps = run_profiled_steps(**kwargs)
+    tpu_lock.wait_until_free(timeout_s=6 * 3600.0)
+    with tpu_lock.hold("trace_breakdown.py"):
+        steps = run_profiled_steps(**kwargs)
     parse_trace(steps)
