@@ -248,7 +248,10 @@ def main():
     # for the chip to go idle before timing — a contended capture
     # under-reports the framework by ~30% (round-3 post-mortem, VERDICT r3).
     idle = tpu_lock.wait_until_free(timeout_s=1800.0)
-    with tpu_lock.hold("bench.py"):
+    with tpu_lock.hold("bench.py") as got:
+        # `got` False means another process grabbed the lock in the window
+        # after wait_until_free returned — the capture is contended even
+        # though the wait "succeeded" (ADVICE r4 #5).
         batch_size, steps = 16, 20
         pairs_per_sec = bench_train_step(batch_size=batch_size, steps=steps)
         infer_pairs_per_sec = bench_infer_step(batch_size=batch_size, steps=steps)
@@ -267,8 +270,8 @@ def main():
         "model_tflops_per_step": round(flops_per_step / 1e12, 3),
         "mfu_pct": round(100.0 * mfu, 2),
     }
-    if not idle:
-        record["contended"] = True  # another TPU job never released the lock
+    if not (idle and got):
+        record["contended"] = True  # another TPU job held/raced the lock
     print(json.dumps(record))
 
 

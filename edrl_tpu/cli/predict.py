@@ -40,6 +40,12 @@ def main(argv=None):
         "the first N input pairs (0 = dynamic per-row scales)",
     )
     parser.add_argument("--chunk_batches", type=int, default=1)
+    parser.add_argument(
+        "--transport", choices=("uint8", "f32"), default="uint8",
+        help="host->device request encoding; uint8 (default) ships 4x fewer "
+        "bytes and dequantizes on device — the measured dominant remote-"
+        "serving latency lever (BASELINE.md); f32 for sub-8-bit sources",
+    )
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
 
@@ -74,6 +80,7 @@ def main(argv=None):
             quantize_int8=args.int8,
             int8_calibration=calibration,
             chunk_batches=args.chunk_batches,
+            transport=args.transport,
         )
     else:
         from edrl_tpu.train.trainer import init_state
@@ -86,6 +93,7 @@ def main(argv=None):
             quantize_int8=args.int8,
             int8_calibration=calibration,
             chunk_batches=args.chunk_batches,
+            transport=args.transport,
         )
     if args.int8:
         r = predictor.quant_report

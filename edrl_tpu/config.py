@@ -102,6 +102,13 @@ class ModelConfig:
     proxy_weight_train: float = 0.3
     proxy_weight_eval: float = 0.8
     dilr_weight: float = 0.001
+    # Masked-expert PoE semantics for missing-modality eval: False (default)
+    # zeroes the absent expert's alpha without renormalizing (the reference's
+    # implied behavior, fusion_net.py:32-39); True renormalizes surviving
+    # alphas to sum 1 so the single-expert limit is exactly mu_k + var_k.
+    # Checked choice: tests/test_models.py::TestPoEMaskRenormalization
+    # probes masked accuracy under both on a trained tiny model.
+    poe_renormalize_mask: bool = False
     # Backbone architecture knobs.  Head counts are TPU-first: head_dim 128
     # at every stage matches the 128-wide MXU tile exactly — measured 2.0x
     # faster than the torch-Swin-B (4,8,16,32) head split (head_dim 32) at

@@ -167,7 +167,15 @@ def _check_nifti_header(path: str, findings: List[Finding], sid: str) -> None:
             )
     scl_slope = struct.unpack_from("<f", raw, 112)[0]
     scl_inter = struct.unpack_from("<f", raw, 116)[0]
-    if np.isfinite(scl_slope) and scl_slope not in (0.0, 1.0):
+    # Mirror the loader's condition exactly (nifti.py::read_nifti): scaling
+    # applies whenever slope != 0 AND (slope != 1 OR inter != 0) — an
+    # inter-only shift (slope 1, inter != 0) IS rescaled at load and must
+    # not pass preflight silently (ADVICE r4 #3).  NaN means unset.
+    if not np.isfinite(scl_slope):
+        scl_slope = 0.0
+    if not np.isfinite(scl_inter):
+        scl_inter = 0.0
+    if scl_slope != 0.0 and (scl_slope != 1.0 or scl_inter != 0.0):
         findings.append(
             Finding(
                 "warning",

@@ -26,6 +26,51 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+
+def _ambient_batch_axis(batch: int, axis: str = "data"):
+    """Mesh axis to shard_map a kernel's batch dim over, or ``None``.
+
+    Non-None only when tracing under an active mesh context whose ``data``
+    axis is >1 — ``jax.set_mesh`` is entered by the sharded train/eval steps
+    (``trainer._with_mesh_context``) — i.e. exactly the multi-chip SPMD case
+    where a bare ``pallas_call`` would not be partitionable.  Single-device
+    and no-mesh traces return ``None`` and take the plain kernel path.
+
+    The kernels' batch grid dimension is embarrassingly parallel (every
+    (batch, window, head) program is independent; the only cross-batch term
+    is the backward's ``dbias`` accumulation, which the SPMD wrappers close
+    with an explicit ``psum``), so sharding the batch over ICI keeps the
+    measured single-chip kernel path bit-for-bit per shard (SURVEY.md §5.8;
+    VERDICT r4 next-#1).
+    """
+    am = jax.sharding.get_abstract_mesh()
+    if am is None or am.empty or axis not in am.axis_names:
+        return None
+    n = dict(zip(am.axis_names, am.axis_sizes)).get(axis, 1)
+    if n <= 1:
+        return None
+    if batch % n:
+        raise ValueError(
+            f"fused attention under a mesh needs batch ({batch}) divisible "
+            f"by the '{axis}' axis ({n}); pad the batch (run_eval does) or "
+            "disable the fused path"
+        )
+    return axis
+
+
+def _shard_map(f, in_specs, out_specs):
+    # check_vma=False: pallas_call's out_shape carries no vma annotation, and
+    # the wrappers' collective bookkeeping (the dbias psum) is explicit in
+    # the custom VJPs below, so the value-mesh-axis checker adds nothing.
+    return jax.shard_map(
+        f,
+        mesh=jax.sharding.get_abstract_mesh(),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
 
 
 def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
@@ -280,7 +325,6 @@ def _batch_block(b):
     return 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def window_attention_fused_v2(
     qkv: jax.Array,
     bias: jax.Array,
@@ -293,7 +337,20 @@ def window_attention_fused_v2(
     qkv: ``[B, W, N, 3C]`` (the qkv Dense output, columns ordered
     [q heads | k heads | v heads]); bias ``[W, H, N, N]`` f32.
     Returns ``[B, W, N, C]``.
+
+    SPMD: when traced under a mesh context with a >1 ``data`` axis, the call
+    self-wraps in ``jax.shard_map`` over that axis (batch-sharded qkv,
+    replicated bias, psum'd dbias) so the measured kernel path runs
+    per-shard under multi-chip data parallelism instead of being gated off.
     """
+    axis = _ambient_batch_axis(qkv.shape[0])
+    if axis is not None:
+        return _v2_spmd(qkv, bias, num_heads, scale, interpret, axis)
+    return _v2_local(qkv, bias, num_heads, scale, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _v2_local(qkv, bias, num_heads, scale, interpret):
     return _v2_fwd_call(qkv, bias, num_heads, scale, interpret)
 
 
@@ -365,7 +422,45 @@ def _v2_bwd(num_heads, scale, interpret, res, do):
     return jnp.concatenate([dq, dk, dv], axis=-1), dbias
 
 
-window_attention_fused_v2.defvjp(_v2_fwd, _v2_bwd)
+_v2_local.defvjp(_v2_fwd, _v2_bwd)
+
+
+# SPMD wrapper: shard_map over the mesh's 'data' axis.  Forward is
+# embarrassingly parallel over batch shards; the backward's dbias is the one
+# cross-batch reduction, closed with an explicit psum (bias is replicated,
+# so its cotangent must sum over the axis).  Written as an OUTER custom_vjp
+# (rather than differentiating through shard_map) so the collective
+# structure is explicit and independent of shard_map's AD/replication rules.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _v2_spmd(qkv, bias, num_heads, scale, interpret, axis):
+    return _v2_spmd_call(qkv, bias, num_heads, scale, interpret, axis)
+
+
+def _v2_spmd_call(qkv, bias, num_heads, scale, interpret, axis):
+    def f(qkv, bias):
+        return _v2_fwd_call(qkv, bias, num_heads, scale, interpret)
+
+    return _shard_map(f, in_specs=(P(axis), P()), out_specs=P(axis))(qkv, bias)
+
+
+def _v2_spmd_fwd(qkv, bias, num_heads, scale, interpret, axis):
+    o = _v2_spmd_call(qkv, bias, num_heads, scale, interpret, axis)
+    return o, (qkv, bias)
+
+
+def _v2_spmd_bwd(num_heads, scale, interpret, axis, res, do):
+    qkv, bias = res
+
+    def f(qkv, bias, do):
+        dqkv, dbias = _v2_bwd(num_heads, scale, interpret, (qkv, bias), do)
+        return dqkv, jax.lax.psum(dbias, axis)
+
+    return _shard_map(
+        f, in_specs=(P(axis), P(), P(axis)), out_specs=(P(axis), P())
+    )(qkv, bias, do)
+
+
+_v2_spmd.defvjp(_v2_spmd_fwd, _v2_spmd_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -438,7 +533,6 @@ def _sa_spec(n, d, bb):
     return pl.BlockSpec((bb, n, d), lambda h, b: (b, 0, h), memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def self_attention_fused(
     q: jax.Array,
     k: jax.Array,
@@ -452,7 +546,20 @@ def self_attention_fused(
     q, k, v: ``[B, N, C]`` with heads packed along the channel axis (the raw
     Dense projection outputs).  N must be a multiple of 8.  Returns
     ``[B, N, C]`` in q's dtype.
+
+    SPMD: under a mesh context with a >1 ``data`` axis the call self-wraps
+    in ``jax.shard_map`` over that axis (all operands batch-sharded; no
+    cross-shard terms — bias-free attention has no replicated-input
+    cotangent, so no collective at all).
     """
+    axis = _ambient_batch_axis(q.shape[0])
+    if axis is not None:
+        return _sa_spmd(q, k, v, num_heads, scale, interpret, axis)
+    return _sa_local(q, k, v, num_heads, scale, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _sa_local(q, k, v, num_heads, scale, interpret):
     return _sa_fwd_call(q, k, v, num_heads, scale, interpret)
 
 
@@ -493,4 +600,35 @@ def _sa_bwd(num_heads, scale, interpret, res, do):
     return dq, dk, dv
 
 
-self_attention_fused.defvjp(_sa_fwd, _sa_bwd)
+_sa_local.defvjp(_sa_fwd, _sa_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _sa_spmd(q, k, v, num_heads, scale, interpret, axis):
+    return _sa_spmd_call(q, k, v, num_heads, scale, interpret, axis)
+
+
+def _sa_spmd_call(q, k, v, num_heads, scale, interpret, axis):
+    def f(q, k, v):
+        return _sa_fwd_call(q, k, v, num_heads, scale, interpret)
+
+    return _shard_map(f, in_specs=(P(axis),) * 3, out_specs=P(axis))(q, k, v)
+
+
+def _sa_spmd_fwd(q, k, v, num_heads, scale, interpret, axis):
+    o = _sa_spmd_call(q, k, v, num_heads, scale, interpret, axis)
+    return o, (q, k, v)
+
+
+def _sa_spmd_bwd(num_heads, scale, interpret, axis, res, do):
+    q, k, v = res
+
+    def f(q, k, v, do):
+        return _sa_bwd(num_heads, scale, interpret, (q, k, v), do)
+
+    return _shard_map(
+        f, in_specs=(P(axis),) * 4, out_specs=(P(axis),) * 3
+    )(q, k, v, do)
+
+
+_sa_spmd.defvjp(_sa_spmd_fwd, _sa_spmd_bwd)

@@ -146,9 +146,22 @@ class MultiHeadAttention(nn.Module):
         scale = head_dim**-0.5
 
         def proj(name, x):
-            return nn.Dense(
-                self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name=name
-            )(x)
+            from edrl_tpu.parallel.mesh import batch_constraint
+
+            # Anchor the projection (and its cotangent) to batch-over-'data'
+            # sharding: under TP the q/k/v Dense kernels are column-sharded,
+            # so their outputs arrive channel-sharded, and the head-split
+            # reshape/transpose below would otherwise hit the partitioner's
+            # "Involuntary full rematerialization" last resort (same failure
+            # mode as the r4 MedFusion-flatten fix; observed on the DILR
+            # attention blocks in the r5 dryrun stderr).  No-op without a
+            # mesh context.
+            return batch_constraint(
+                nn.Dense(
+                    self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                    name=name,
+                )(x)
+            )
 
         q = proj("q", q_in)  # [B, Nq, C], heads packed in columns
         k = proj("k", k_in)

@@ -156,7 +156,11 @@ class MedFusion(nn.Module):
         )
 
         # --- PoE + global fusion vector (``fusion_net.py:912-916``) ---
-        poe = PoE(modality_num=2, name="poe")(
+        poe = PoE(
+            modality_num=2,
+            renormalize_mask=cfg.poe_renormalize_mask,
+            name="poe",
+        )(
             [mu_f, mu_o], [sig_f, sig_o], modality_mask=modality_mask
         )  # [B, C, z]
         g = nn.relu(batch_constraint(poe.reshape(b, c * z_dim)))

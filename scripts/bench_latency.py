@@ -81,7 +81,13 @@ def main():
                 ),
                 crng.uniform(size=(b, *d.oct_size, 1)).astype(np.float32),
             )
-        pred = Predictor(cfg, state, quantize_int8=args.int8, **kwargs)
+        # transport is explicit so the f32 rows keep measuring f32 transport
+        # now that the Predictor DEFAULTS to uint8 (BASELINE.md SLO table
+        # comparability); --uint8 rows exercise the shipped default.
+        pred = Predictor(
+            cfg, state, quantize_int8=args.int8,
+            transport="uint8" if args.uint8 else "f32", **kwargs
+        )
         fundus = rng.uniform(size=(b, d.fundus_size, d.fundus_size, 3)).astype(
             np.float32
         )

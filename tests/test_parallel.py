@@ -394,8 +394,9 @@ class TestScannedMeshEpoch:
             assert drift < bound, (drift, bound, a.shape)
 
     def test_pallas_flags_gated_under_mesh(self, mesh):
-        """Pallas kernel paths are not SPMD-partitionable under plain
-        jit-over-Mesh — fit() falls back to the XLA paths (ADVICE r2 #4)."""
+        """Non-SPMD Pallas paths fall back to XLA under a mesh, but the
+        shard_map-capable fused attention kernels STAY ON under a data-only
+        mesh (VERDICT r4 next-#1) and are gated only under TP (model>1)."""
         import dataclasses
 
         from edrl_tpu.train.trainer import _gate_pallas_under_mesh
@@ -403,12 +404,23 @@ class TestScannedMeshEpoch:
         cfg = tiny_test_config(batch_size=8)
         cfg = cfg.replace(
             model=dataclasses.replace(
-                cfg.model, use_fused_ln=True, use_fused_attention=True
+                cfg.model,
+                use_fused_ln=True,
+                use_fused_attention=True,
+                vit_fused_attention=True,
             )
         )
         gated = _gate_pallas_under_mesh(cfg, mesh, verbose=False)
         assert not gated.model.use_fused_ln
-        assert not gated.model.use_fused_attention
+        # Data-only mesh: the SPMD-capable attention kernels survive.
+        assert gated.model.use_fused_attention
+        assert gated.model.vit_fused_attention
+        # TP mesh (model axis > 1): channel-sharded qkv outputs cannot feed
+        # the packed column-block reads — everything falls back.
+        mesh_tp = make_mesh(num_data=4, num_model=2)
+        gated_tp = _gate_pallas_under_mesh(cfg, mesh_tp, verbose=False)
+        assert not gated_tp.model.use_fused_attention
+        assert not gated_tp.model.vit_fused_attention
         # No mesh (or 1-device) leaves the flags alone.
         assert _gate_pallas_under_mesh(cfg, None, False).model.use_fused_ln
 
@@ -499,6 +511,9 @@ class TestDriverContract:
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        # Phases 1+2 only: the full-size phase-3 compile adds ~6 min on the
+        # single test core and is exercised by the driver's real dryrun.
+        env["EDRL_DRYRUN_FULLSIZE"] = "0"
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         proc = subprocess.run(
             [
@@ -510,10 +525,12 @@ class TestDriverContract:
             cwd=repo,
             capture_output=True,
             text=True,
-            timeout=600,
+            timeout=900,
         )
         assert proc.returncode == 0, proc.stdout + proc.stderr
         assert "dryrun_multichip OK" in proc.stdout
+        assert "dryrun_fused_path OK" in proc.stdout
+        assert "ALL PHASES OK" in proc.stdout
 
     def test_sharded_byte_fraction(self):
         from edrl_tpu.parallel import sharded_byte_fraction
@@ -598,3 +615,205 @@ class TestFullTokenDimsUnderTP:
         assert np.isfinite(float(out["loss"]))
         leaves = jax.tree_util.tree_leaves(new_state.params)
         assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+
+
+class TestFusedAttentionSPMD:
+    """The fused attention kernels' shard_map dispatch (VERDICT r4 next-#1):
+    under a mesh context with data axis > 1, the public kernel entry points
+    self-wrap in jax.shard_map over 'data' — values AND gradients must match
+    the local (single-device) kernel path, including the psum'd dbias."""
+
+    def test_dispatch_is_none_outside_mesh(self):
+        from edrl_tpu.kernels.window_attention import _ambient_batch_axis
+
+        assert _ambient_batch_axis(16) is None
+
+    def test_dispatch_rejects_indivisible_batch(self, mesh):
+        from edrl_tpu.kernels.window_attention import _ambient_batch_axis
+
+        with jax.set_mesh(mesh):
+            # Inside a trace the context mesh is visible; emulate with an
+            # abstract-mesh trace via jit.
+            def f(x):
+                _ambient_batch_axis(x.shape[0])
+                return x
+
+            with pytest.raises(ValueError, match="divisible"):
+                jax.jit(f)(jnp.zeros((12, 4)))
+
+    def test_v2_kernel_spmd_matches_local(self, mesh, rng):
+        from edrl_tpu.kernels.window_attention import window_attention_fused_v2
+
+        B, W, H, N, D = 16, 4, 2, 16, 32
+        C = H * D
+        qkv = jnp.asarray(rng.normal(size=(B, W, N, 3 * C)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(W, H, N, N)).astype(np.float32))
+        scale = D**-0.5
+
+        def loss(qkv, bias):
+            o = window_attention_fused_v2(qkv, bias, H, scale, True)
+            return jnp.mean(o * o)
+
+        want_v, (want_dq, want_db) = jax.jit(
+            jax.value_and_grad(loss, argnums=(0, 1))
+        )(qkv, bias)
+
+        sh = batch_sharding(mesh)
+        qkv_s = jax.device_put(qkv, sh)
+        bias_s = jax.device_put(bias, replicated(mesh))
+        with jax.set_mesh(mesh):
+            got_v, (got_dq, got_db) = jax.jit(
+                jax.value_and_grad(loss, argnums=(0, 1))
+            )(qkv_s, bias_s)
+
+        assert float(got_v) == pytest.approx(float(want_v), rel=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(got_dq), np.asarray(want_dq), atol=1e-5
+        )
+        # dbias crosses batch shards: the explicit psum must reproduce the
+        # full-batch accumulation.
+        np.testing.assert_allclose(
+            np.asarray(got_db), np.asarray(want_db), atol=1e-5
+        )
+
+    def test_sa_kernel_spmd_matches_local(self, mesh, rng):
+        from edrl_tpu.kernels.window_attention import self_attention_fused
+
+        B, N, H, D = 16, 24, 2, 16
+        C = H * D
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+            for _ in range(3)
+        )
+        scale = D**-0.5
+
+        def loss(q, k, v):
+            o = self_attention_fused(q, k, v, H, scale, True)
+            return jnp.mean(o * o)
+
+        want_v, want_g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))(
+            q, k, v
+        )
+        sh = batch_sharding(mesh)
+        qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+        with jax.set_mesh(mesh):
+            got_v, got_g = jax.jit(
+                jax.value_and_grad(loss, argnums=(0, 1, 2))
+            )(qs, ks, vs)
+        assert float(got_v) == pytest.approx(float(want_v), rel=1e-5)
+        for a, b in zip(got_g, want_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_fused_model_traces_shard_map_under_mesh(self, mesh):
+        """Wiring check (trace-only, no compile): under the mesh context the
+        fused-attention model's jaxpr contains shard_map equations — the
+        dispatch really takes the SPMD kernel path — and without a mesh it
+        contains none."""
+        import dataclasses
+
+        cfg = tiny_test_config(batch_size=8)
+        cfg = cfg.replace(
+            model=dataclasses.replace(
+                cfg.model,
+                use_fused_attention=True,
+                vit_fused_attention=True,
+            )
+        )
+        model, state = init_state(cfg, 0)
+        fundus = jnp.zeros((8, 64, 64, 3), jnp.float32)
+        oct_vol = jnp.zeros((8, 32, 32, 32, 1), jnp.float32)
+        y = jnp.zeros((8,), jnp.int32)
+
+        def fwd(params):
+            return model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                fundus, oct_vol, y, train=False,
+            )[1]
+
+        with jax.set_mesh(mesh):
+            jaxpr_mesh = str(jax.make_jaxpr(fwd)(state.params))
+        jaxpr_plain = str(jax.make_jaxpr(fwd)(state.params))
+        assert "shard_map" in jaxpr_mesh
+        assert "shard_map" not in jaxpr_plain
+
+    @pytest.mark.slow
+    def test_fused_train_step_under_mesh_matches_xla_path(self, mesh):
+        """End-to-end: a sharded train step with the fused attention kernels
+        ON (interpret mode on CPU) compiles, runs, and produces the same
+        loss as the sharded XLA-attention step.  (Loss-level only: comparing
+        Adam-updated params amplifies epsilon-level fused-vs-XLA accumulation
+        differences through the scale-invariant update; raw-gradient parity
+        incl. the psum'd dbias is covered by the kernel-level tests above.)"""
+        import dataclasses
+
+        cfg_xla = tiny_test_config(batch_size=8)
+        cfg_fused = cfg_xla.replace(
+            model=dataclasses.replace(
+                cfg_xla.model,
+                use_fused_attention=True,
+                vit_fused_attention=True,
+            )
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "fundus_low": rng.uniform(size=(8, 64, 64, 3)).astype(np.float32),
+            "fundus_high": rng.uniform(size=(8, 64, 64, 3)).astype(np.float32),
+            "oct_low": rng.uniform(size=(8, 32, 32, 32, 1)).astype(np.float32),
+            "oct_high": rng.uniform(size=(8, 32, 32, 32, 1)).astype(np.float32),
+            "label": rng.integers(0, 2, size=8).astype(np.int32),
+        }
+        key = jax.random.key(7)
+        sharded = shard_batch(batch, mesh)
+
+        results = {}
+        for name, cfg in (("xla", cfg_xla), ("fused", cfg_fused)):
+            from edrl_tpu.parallel.mesh import train_state_shardings
+            from edrl_tpu.train.trainer import make_train_step
+
+            _, state = init_state(cfg, 0)
+            shardings = train_state_shardings(state, mesh)
+            state = jax.device_put(state, shardings)
+            step = make_train_step(
+                make_model(cfg), make_optimizer(cfg), cfg,
+                state_shardings=shardings,
+            )
+            new_state, out = step(state, sharded, key)
+            results[name] = (new_state, float(out["loss"]))
+            for leaf in jax.tree_util.tree_leaves(new_state.params):
+                assert bool(np.all(np.isfinite(np.asarray(leaf, np.float32))))
+
+        assert results["fused"][1] == pytest.approx(results["xla"][1], rel=1e-4)
+
+
+class TestShardedStepSmoke:
+    """Fast-tier sharded-step smoke (ADVICE r4 #4): the full review loop
+    must exercise the mesh train-step path (batch_constraint resolution via
+    _with_mesh_context, state sharding constraint) without waiting for the
+    slow suite.  One tiny step on a 2-device submesh keeps it cheap."""
+
+    def test_one_sharded_step_fast(self):
+        from edrl_tpu.parallel.mesh import train_state_shardings
+        from edrl_tpu.train.trainer import make_train_step
+
+        mesh2 = make_mesh(num_data=2, num_model=1, devices=jax.devices()[:2])
+        cfg = tiny_test_config(batch_size=4)
+        _, state = init_state(cfg, 0)
+        shardings = train_state_shardings(state, mesh2)
+        state = jax.device_put(state, shardings)
+        step = make_train_step(
+            make_model(cfg), make_optimizer(cfg), cfg,
+            state_shardings=shardings,
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "fundus_low": rng.uniform(size=(4, 64, 64, 3)).astype(np.float32),
+            "fundus_high": rng.uniform(size=(4, 64, 64, 3)).astype(np.float32),
+            "oct_low": rng.uniform(size=(4, 32, 32, 32, 1)).astype(np.float32),
+            "oct_high": rng.uniform(size=(4, 32, 32, 32, 1)).astype(np.float32),
+            "label": rng.integers(0, 2, size=4).astype(np.int32),
+        }
+        new_state, out = step(
+            state, shard_batch(batch, mesh2), jax.random.key(0)
+        )
+        assert np.isfinite(float(out["loss"]))
+        assert int(new_state.step) == 1

@@ -41,12 +41,27 @@ def test_stale_lock_reclaimed(tmp_path):
     tpu_lock.release(path)
 
 
-def test_corrupt_lock_reclaimed(tmp_path):
+def test_corrupt_lock_reclaimed_after_grace(tmp_path):
+    """A corrupt lock is reclaimed only after a grace period — a freshly
+    written one might be a concurrent (non-atomic) writer mid-write, and
+    unlinking it instantly let two processes both 'hold' the advisory lock
+    (ADVICE r4 #2 TOCTOU)."""
+    import time
+
     path = str(tmp_path / "lock")
     with open(path, "w") as f:
         f.write("not json{")
+    # Within the grace window: unreadable -> no holder, but NOT unlinked,
+    # so acquisition still fails.
+    assert tpu_lock.holder(path) is None
+    assert not tpu_lock.try_acquire("fresh", path)
+    # Past the grace window: reclaimed and acquirable.
+    old = time.time() - 30.0
+    os.utime(path, (old, old))
     assert tpu_lock.holder(path) is None
     assert tpu_lock.try_acquire("fresh", path)
+    # The acquired lock is immediately readable (atomic payload via link).
+    assert tpu_lock.holder(path)["tag"] == "fresh"
     tpu_lock.release(path)
 
 

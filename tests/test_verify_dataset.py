@@ -128,6 +128,20 @@ def test_scaled_nifti_is_a_warning_not_error(tree):
     assert any("scl_slope=2.5" in str(f) for f in rep.warnings)
 
 
+def test_intercept_only_scaling_warns(tree):
+    """slope==1 with inter!=0 IS rescaled by the loader (nifti.py applies
+    the intercept) — preflight must warn on it too (ADVICE r4 #3)."""
+    root, labels = tree
+    path = root / "1" / "data_1.nii"
+    raw = bytearray(path.read_bytes())
+    struct.pack_into("<f", raw, 112, 1.0)  # scl_slope
+    struct.pack_into("<f", raw, 116, -1024.0)  # scl_inter
+    path.write_bytes(bytes(raw))
+    rep = verify_tree(_cfg(root, labels))
+    assert rep.ok
+    assert any("scl_inter=-1024" in str(f) for f in rep.warnings)
+
+
 def test_zero_join_is_an_error_with_examples(tree, tmp_path):
     root, labels = tree
     import pandas as pd
