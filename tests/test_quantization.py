@@ -236,6 +236,35 @@ def test_predictor_mesh_sharded_matches_single_device(rng):
 
 
 @pytest.mark.slow
+def test_predictor_mesh_fused_kernels_match_single_device(rng):
+    """Mesh serving with the fused Pallas attention ON (r5): under a
+    data-only mesh the kernels stay enabled and shard_map themselves; the
+    sharded fused probs must match the single-device fused probs."""
+    import dataclasses
+
+    from edrl_tpu.parallel.mesh import make_mesh
+    from edrl_tpu.serve import Predictor
+    from edrl_tpu.train.trainer import init_state
+
+    cfg = tiny_test_config(batch_size=8)
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, use_fused_attention=True, vit_fused_attention=True
+        )
+    )
+    _, state = init_state(cfg, 0)
+    fundus, oct_vol = _eval_batch(cfg, rng, 8)
+    mesh = make_mesh(num_data=8, num_model=1)
+
+    p_mesh = Predictor(cfg, state, mesh=mesh)
+    # The data-only gate must NOT have stripped the fused flags.
+    assert p_mesh.cfg.model.use_fused_attention
+    ref = Predictor(cfg, state).predict_probs(fundus, oct_vol)
+    got = p_mesh.predict_probs(fundus, oct_vol)
+    np.testing.assert_allclose(ref, got, atol=5e-5)
+
+
+@pytest.mark.slow
 def test_export_roundtrip_f32_and_int8(rng):
     """jax.export round trip: the deserialized StableHLO program reproduces
     the live forward bit-for-bit, for both the bf16/f32 and int8 paths."""
