@@ -387,7 +387,11 @@ def main(argv=None):
             from edrl_tpu.parallel.mesh import train_state_shardings
 
             state = jax.device_put(state, train_state_shardings(state, mesh))
-        eval_step = make_eval_step(make_model(cfg), cfg)
+        # mesh= so the trace runs under the mesh context: the data-only gate
+        # keeps the fused Pallas kernels ON, and their shard_map dispatch
+        # (and batch_constraint anchors) only engage inside jax.set_mesh —
+        # without it the sharded eval would trace bare pallas_calls.
+        eval_step = make_eval_step(make_model(cfg), cfg, mesh=mesh)
         report_eval(emit, cfg, state, eval_step, val_loader, mesh=mesh)
 
 

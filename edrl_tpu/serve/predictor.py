@@ -164,13 +164,23 @@ class Predictor:
                     raise ValueError("int8_calibration batch is empty")
                 num_chunks = max(1, -(-len(cal_f) // n))
                 cy = jnp.zeros((n,), jnp.int32)
+                # Build (and upload) each chunk ONCE, outside the member
+                # loop: K ensemble members reuse the same device-resident
+                # chunk tensors instead of paying K x num_chunks transfers
+                # over a bandwidth-bound transport.
+                chunks = []
+                for c in range(num_chunks):
+                    ids = np.arange(c * n, (c + 1) * n) % len(cal_f)
+                    chunks.append(
+                        (
+                            _dequantize(jnp.asarray(cal_f[ids])),
+                            _dequantize(jnp.asarray(cal_o[ids])),
+                        )
+                    )
                 combined_scales = []
                 for v, s in zip(member_vars, member_scales):
                     combined = None
-                    for c in range(num_chunks):
-                        ids = np.arange(c * n, (c + 1) * n) % len(cal_f)
-                        cf = _dequantize(jnp.asarray(cal_f[ids]))
-                        co = _dequantize(jnp.asarray(cal_o[ids]))
+                    for cf, co in chunks:
                         sc = calibrate_activation_scales(
                             self.model, v, s, cf, co, cy,
                             percentile=int8_calib_percentile, train=False,

@@ -86,7 +86,10 @@ def noise_sweep(
         # config captured at step-creation time — a sigma that only reaches
         # the dataset config is silently ignored there (caught 2026-08-17:
         # every sigma cell of a device_noise sweep came back identical).
-        eval_step = make_eval_step(model, _cfg_for(cfg, sigma, kind))
+        # mesh= so a sharded sweep traces under the mesh context (fused
+        # Pallas kernels stay ON under a data-only mesh and need their
+        # shard_map dispatch to engage — same contract as fit()'s eval).
+        eval_step = make_eval_step(model, _cfg_for(cfg, sigma, kind), mesh=mesh)
         # Keep the remainder batch: dropping it loses up to eval_batch_size-1
         # samples per grid cell on small folds (same class of bug as the
         # reference's drop_last val loaders, fixed for the main eval path in

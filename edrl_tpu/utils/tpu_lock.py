@@ -48,6 +48,37 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+def _reclaim(path: str) -> None:
+    """Atomically remove a stale/corrupt lock file, restoring it if a live
+    holder raced in between the caller's read and this reclamation.
+
+    Unlinking by path is unsafe: between the caller reading a dead-PID
+    record and the unlink, another process can legitimately reclaim AND
+    re-acquire — the blind unlink then deletes the NEW holder's lock and
+    two processes end up holding it (code-review r5).  Rename to a
+    per-process name first (atomic; only one reclaimer can win), verify
+    what was actually captured, and restore it via link if it turned out
+    to be a live lock.
+    """
+    tmp = f"{path}.reclaim.{os.getpid()}"
+    try:
+        os.rename(path, tmp)
+    except OSError:
+        return  # someone else reclaimed/released it first
+    try:
+        cur = _read_holder(tmp)
+        if cur is not None and _pid_alive(int(cur.get("pid", -1))):
+            # We captured a live lock (acquired between read and rename):
+            # put it back.  link fails only if yet another acquire landed
+            # meanwhile — then the newest holder stands and the displaced
+            # one re-acquires on its next hold() cycle (advisory lock).
+            with contextlib.suppress(OSError):
+                os.link(tmp, path)
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+
+
 def holder(path: str = LOCK_PATH):
     """Live holder record (``{"pid": ..., "tag": ...}``) or None.
 
@@ -59,7 +90,7 @@ def holder(path: str = LOCK_PATH):
         # Unreadable/corrupt lock: reclaim only after a grace period.
         # Acquisition is atomic (payload linked into place fully written,
         # see try_acquire), so a corrupt file can only be foreign debris —
-        # but give any non-atomic writer a few seconds before unlinking
+        # but give any non-atomic writer a few seconds before removing it
         # (ADVICE r4 #2: the old empty-at-create window let two processes
         # both "hold" the lock).
         with contextlib.suppress(OSError):
@@ -67,11 +98,10 @@ def holder(path: str = LOCK_PATH):
                 os.path.exists(path)
                 and time.time() - os.path.getmtime(path) > 5.0
             ):
-                os.unlink(path)
+                _reclaim(path)
         return None
     if not _pid_alive(int(rec.get("pid", -1))):
-        with contextlib.suppress(OSError):
-            os.unlink(path)
+        _reclaim(path)
         return None
     return rec
 

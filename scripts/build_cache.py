@@ -20,6 +20,24 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Worker-process state for --workers > 1: multiprocessing cannot pickle a
+# closure over the dataset, so each worker re-opens it once via an
+# initializer and _build_one is a plain module-level function.
+_WORKER_DS = None
+
+
+def _worker_init(cfg):
+    global _WORKER_DS
+    from edrl_tpu.data.gamma import GammaDataset
+
+    _WORKER_DS = GammaDataset(cfg, mode="train")
+
+
+def _build_one(i):
+    sid, _ = _WORKER_DS.samples[i]
+    _WORKER_DS._load_raw(sid)
+    return sid
+
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
@@ -52,21 +70,19 @@ def main(argv=None) -> int:
         return 1
     t0 = time.time()
 
-    def build(i):
-        sid, _ = ds.samples[i]
-        ds._load_raw(sid)
-        return sid
-
     if args.workers > 1:
         from multiprocessing import Pool
 
-        with Pool(args.workers) as pool:
-            for k, sid in enumerate(pool.imap_unordered(build, range(n)), 1):
+        with Pool(args.workers, initializer=_worker_init, initargs=(cfg,)) as pool:
+            for k, sid in enumerate(
+                pool.imap_unordered(_build_one, range(n)), 1
+            ):
                 if k % 50 == 0 or k == n:
                     print(f"[{k}/{n}] cached (last: {sid})", flush=True)
     else:
+        _worker_init(cfg)
         for i in range(n):
-            sid = build(i)
+            sid = _build_one(i)
             if (i + 1) % 50 == 0 or i + 1 == n:
                 print(f"[{i + 1}/{n}] cached (last: {sid})", flush=True)
     dt = time.time() - t0

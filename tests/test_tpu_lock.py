@@ -94,3 +94,23 @@ def test_hold_context_manager(tmp_path):
         assert got
         assert tpu_lock.holder(path)["tag"] == "ctx"
     assert tpu_lock.holder(path) is None
+
+
+def test_reclaim_removes_stale_record(tmp_path):
+    path = str(tmp_path / "lock")
+    with open(path, "w") as f:
+        json.dump({"pid": 2**30, "tag": "dead", "time": 0}, f)
+    tpu_lock._reclaim(path)
+    assert not os.path.exists(path)
+
+
+def test_reclaim_restores_live_record(tmp_path):
+    """If a live holder acquired between the caller's read and the
+    reclamation, the rename-verify-restore path puts the live lock back
+    instead of deleting it (the two-holders race from the r5 review)."""
+    path = str(tmp_path / "lock")
+    with open(path, "w") as f:
+        json.dump({"pid": os.getpid(), "tag": "live", "time": 0}, f)
+    tpu_lock._reclaim(path)
+    assert os.path.exists(path)
+    assert tpu_lock.holder(path)["tag"] == "live"
