@@ -298,6 +298,26 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 
+    # Advisory single-chip lock (CLAUDE.md TPU job discipline): a training
+    # run HOLDS the lock for its lifetime so bench.py / study queues wait
+    # instead of timing a contended chip.  Wait-then-acquire; if another
+    # holder outlives the wait we proceed anyway (advisory) with a warning.
+    import jax as _jax
+
+    if _jax.default_backend() != "cpu":
+        import atexit
+
+        from edrl_tpu.utils import tpu_lock
+
+        if not tpu_lock.wait_until_free(timeout_s=3600.0):
+            print(
+                "[tpu_lock] proceeding despite a live holder — training "
+                "will contend with it",
+                flush=True,
+            )
+        tpu_lock.try_acquire(f"cli.train {cfg.train.name}")
+        atexit.register(tpu_lock.release)
+
     emit = setup_cli_logging(cfg, args, "train")
 
     train_loader, val_loader = make_loaders(cfg)
