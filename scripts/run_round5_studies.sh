@@ -12,7 +12,8 @@
 #      seed-major (even n growth if the deadline trims the tail).
 # Restart-safe (ablation jsonl resume + compile cache), deadline-guarded;
 # every TPU process takes the advisory tpu_lock.
-set -u
+set -u -o pipefail  # without pipefail, `cmd | tee log` reports tee's status
+                    # and a failed bench looks success-shaped (r5 review)
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_comp_cache
 DEADLINE_FILE="${DEADLINE_FILE:-/tmp/study_deadline}"
